@@ -1,0 +1,210 @@
+"""Typed configuration tree with strict YAML merge.
+
+Reproduces the public config surface of the reference EE-GAN
+(`miscc/config.py:9-108`): a global ``cfg`` object holding nested groups
+(TREE / TRAIN / TRAIN.SMOOTH / GAN / TEXT), loaded by ``cfg_from_file`` with
+*strict* merge semantics — unknown keys raise ``KeyError`` and type
+mismatches raise ``ValueError`` (reference `miscc/config.py:76-89`).
+
+Differences from the reference (deliberate, documented):
+
+* The tree is made of typed dataclasses instead of an EasyDict, so typos in
+  *code* fail fast too, not just in YAML.
+* ``GPU_ID`` exists in the defaults. The reference's ``coco.yml``/``flower.yml``
+  set it but the defaults lack it, so loading those configs raises
+  (reference `cfg/coco.yml:4` vs `miscc/config.py:78`). We accept it (and
+  ignore it — device selection is mesh-driven on TPU).
+* An additional ``RUNTIME`` group carries TPU-native knobs (mesh axes,
+  compute dtype, remat) that have no reference counterpart.
+* int -> float coercion is allowed (YAML ``10`` into a float field); the
+  reference raised on this.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import yaml
+
+
+@dataclass
+class TreeConfig:
+    """Image-pyramid layout: BRANCH_NUM scales starting at BASE_SIZE."""
+
+    BRANCH_NUM: int = 3
+    BASE_SIZE: int = 64
+
+
+@dataclass
+class SmoothConfig:
+    """DAMSM loss temperatures (reference `miscc/config.py:47-51`)."""
+
+    GAMMA1: float = 5.0
+    GAMMA2: float = 5.0
+    GAMMA3: float = 10.0
+    LAMBDA: float = 1.0
+
+
+@dataclass
+class TrainConfig:
+    USE_ATTR: bool = True
+    USE_UNPAIR: bool = True
+    USE_CLASS: bool = True
+    CLASS_NUM: int = 200
+
+    NET_E: str = ""
+    NET_G: str = ""
+    BATCH_SIZE: int = 64
+    MAX_EPOCH: int = 600
+    WARMUP_EPOCHS: int = 200
+    GSAVE_INTERVAL: int = 10
+    DSAVE_INTERVAL: int = 10
+
+    # Learning rates. NOTE: the reference *defines* DISCRIMINATOR_LR /
+    # GENERATOR_LR but hardcodes Adam(1e-4)/Adam(4e-4) with betas (0.0, 0.9)
+    # in `train.py:257,261`, ignoring these. We honour the config values and
+    # default them to the values the reference actually used (TTUR).
+    DISCRIMINATOR_LR: float = 4e-4
+    GENERATOR_LR: float = 1e-4
+    ENCODER_LR: float = 2e-4
+    RNN_GRAD_CLIP: float = 0.25
+    B1: float = 0.0
+    B2: float = 0.9
+
+    SMOOTH: SmoothConfig = field(default_factory=SmoothConfig)
+
+
+@dataclass
+class GanConfig:
+    GF_DIM: int = 64
+    DF_DIM: int = 64
+    Z_DIM: int = 100
+    CONDITION_DIM: int = 100
+
+
+@dataclass
+class TextConfig:
+    MAX_ATTR_NUM: int = 3
+    MAX_ATTR_LEN: int = 5
+    CAPTIONS_PER_IMAGE: int = 10
+    EMBEDDING_DIM: int = 256
+    WORDS_NUM: int = 20
+    DAMSM_NAME: str = ""
+
+
+@dataclass
+class RuntimeConfig:
+    """TPU-native runtime knobs (no reference counterpart)."""
+
+    # Mesh axis spec, e.g. "data:8" or "data:-1" (-1 = all local devices).
+    MESH: str = "data:-1"
+    # Compute dtype for conv/matmul activations; params stay float32.
+    COMPUTE_DTYPE: str = "bfloat16"
+    # Rematerialise generator blocks to trade FLOPs for HBM.
+    REMAT: bool = False
+    # Donate input buffers to the jitted train step.
+    DONATE: bool = True
+    # Host data-pipeline worker processes (0 = in-process).
+    DATA_WORKERS: int = 8
+    # Batches to prefetch onto device.
+    PREFETCH: int = 2
+
+
+@dataclass
+class Config:
+    DATASET_NAME: str = "bird"
+    CONFIG_NAME: str = ""
+    DATA_DIR: str = ""
+    SAVE_DIR: str = ""
+    WORKERS: int = 4
+    RNN_TYPE: str = "LSTM"  # or 'GRU'
+    CUDA: bool = True  # accepted for YAML compatibility; unused on TPU
+    GPU_ID: int = 0  # accepted for YAML compatibility; unused on TPU
+
+    TREE: TreeConfig = field(default_factory=TreeConfig)
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    GAN: GanConfig = field(default_factory=GanConfig)
+    TEXT: TextConfig = field(default_factory=TextConfig)
+    RUNTIME: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    # ------------------------------------------------------------------
+    def merge_dict(self, other: Dict[str, Any]) -> None:
+        """Strict recursive merge of a plain dict into this config.
+
+        Mirrors `_merge_a_into_b` (reference `miscc/config.py:69-99`):
+        unknown keys -> KeyError, type mismatches -> ValueError.
+        """
+        _merge_into_dataclass(other, self)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    @property
+    def imsizes(self):
+        """Per-branch image sizes, e.g. [64, 128, 256]."""
+        return [self.TREE.BASE_SIZE * (2 ** i) for i in range(self.TREE.BRANCH_NUM)]
+
+
+def _merge_into_dataclass(src: Dict[str, Any], dst: Any) -> None:
+    if not isinstance(src, dict):
+        raise TypeError(f"expected dict to merge, got {type(src)}")
+    names = {f.name for f in dataclasses.fields(dst)}
+    for key, value in src.items():
+        if key not in names:
+            raise KeyError(f"{key} is not a valid config key")
+        old = getattr(dst, key)
+        if dataclasses.is_dataclass(old):
+            if not isinstance(value, dict):
+                raise ValueError(
+                    f"Type mismatch ({type(old)} vs. {type(value)}) for config key: {key}"
+                )
+            _merge_into_dataclass(value, old)
+            continue
+        # Scalar leaf: strict type check with int->float coercion.
+        if isinstance(old, bool) or isinstance(value, bool):
+            if not (isinstance(old, bool) and isinstance(value, bool)):
+                raise ValueError(
+                    f"Type mismatch ({type(old)} vs. {type(value)}) for config key: {key}"
+                )
+        elif isinstance(old, float) and isinstance(value, int):
+            value = float(value)
+        elif type(old) is not type(value):
+            raise ValueError(
+                f"Type mismatch ({type(old)} vs. {type(value)}) for config key: {key}"
+            )
+        setattr(dst, key, value)
+
+
+# ---------------------------------------------------------------------------
+# Module-level singleton, mirroring the reference's global `cfg`.
+# ---------------------------------------------------------------------------
+
+cfg = Config()
+
+
+def cfg_from_file(filename: str, into: Optional[Config] = None) -> Config:
+    """Load a YAML file and strictly merge it into the config.
+
+    Mirrors `cfg_from_file` (reference `miscc/config.py:102-108`). When
+    ``into`` is None the module-level singleton ``cfg`` is updated in place
+    (reference behaviour); pass a fresh ``Config()`` for functional use.
+    """
+    target = cfg if into is None else into
+    with open(filename, "r") as f:
+        yaml_cfg = yaml.safe_load(f)
+    if yaml_cfg:
+        target.merge_dict(yaml_cfg)
+    return target
+
+
+def fresh_config(filename: Optional[str] = None) -> Config:
+    """Build an isolated Config (defaults, optionally merged with a YAML)."""
+    c = Config()
+    if filename is not None:
+        cfg_from_file(filename, into=c)
+    return c

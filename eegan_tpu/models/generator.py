@@ -1,0 +1,184 @@
+"""Hierarchical explore-then-exploit generator.
+
+Rebuilds the reference `Gen` (reference `models.py:183-256`) TPU-first:
+
+* z(100) -> fc -> 4x4 x 8*ngf seed, then seven SAGB blocks with nearest-2x
+  upsampling to 256². Blocks 0-3 ("explore") condition both affine layers on
+  the sentence embedding; blocks 4-6 ("exploit") condition the second affine
+  on the merged attribute embedding (reference `models.py:233-246`).
+* Every block (except the last) predicts a semantic-mask logit map that
+  gates the *next* block's affine modulation after a bilinear
+  align_corners=True resize + sigmoid (reference `models.py:218-223`).
+* Three cumulative blocks fuse the 32->64->128->256 feature ladder, and three
+  to-RGB heads emit [img64, img128, img256] (reference `models.py:248-256`).
+
+All tensors are NHWC; the seed reshape keeps torch's channel-major memory
+order so reference checkpoints can be imported weight-for-weight.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from eegan_tpu.models.layers import (
+    MaskHead,
+    ToImage,
+    batch_norm,
+    conv1x1,
+    conv3x3,
+    dense,
+    resize_bilinear_align_corners,
+    upsample_nearest_2x,
+)
+
+Dtype = Any
+
+
+class AffineSSA(nn.Module):
+    """Mask-gated text-conditional affine over BN-normalised features.
+
+    Reference `affine_ssa` (`models.py:43-86`): BN(affine=False), then
+    gamma/beta from 2-layer MLPs on the condition (last layer zero-init), and
+    ``w = gamma*mask + 1; b = beta*mask; out = w*feat + b``.
+    """
+
+    features: int
+    hidden: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, cond, mask, train: bool = True):
+        feat = batch_norm(train, affine=False, name="norm2d")(feat)
+        feat = feat.astype(self.dtype)
+
+        def mlp(name):
+            h = dense(self.hidden, dtype=self.dtype, name=f"{name}_linear1")(cond)
+            h = nn.relu(h)
+            return dense(self.features, dtype=self.dtype, zero_init=True,
+                         name=f"{name}_linear2")(h)
+
+        gamma = mlp("fc_gamma")[:, None, None, :]  # (B,1,1,C)
+        beta = mlp("fc_beta")[:, None, None, :]
+        mask = mask.astype(self.dtype)  # (B,H,W,1)
+        weight = gamma * mask + 1.0
+        bias = beta * mask
+        return weight * feat + bias
+
+
+class SAGBBlock(nn.Module):
+    """Spatial Affine Generative Block (reference `SAGB_Block`, models.py:89-126).
+
+    residual = c2(relu(affine2(c1(relu(affine1(x, cond1, m))), cond2, m)))
+    out      = shortcut(x) + gamma * residual      (gamma scalar, zero-init)
+    mask     = MaskHead(out) if pred_mask
+    """
+
+    out_ch: int
+    pred_mask: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, cond1, cond2, mask, train: bool = True):
+        in_ch = feat.shape[-1]
+
+        h = AffineSSA(in_ch, dtype=self.dtype, name="affine1")(feat, cond1, mask, train)
+        h = nn.relu(h)
+        h = conv3x3(self.out_ch, dtype=self.dtype, name="c1")(h)
+        h = AffineSSA(self.out_ch, dtype=self.dtype, name="affine2")(h, cond2, mask, train)
+        h = nn.relu(h)
+        h = conv3x3(self.out_ch, dtype=self.dtype, name="c2")(h)
+
+        sc = feat
+        if in_ch != self.out_ch:
+            sc = conv1x1(self.out_ch, use_bias=True, dtype=self.dtype, name="c_sc")(sc)
+
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        out = sc + gamma.astype(self.dtype) * h
+
+        new_mask = None
+        if self.pred_mask:
+            new_mask = MaskHead(dtype=self.dtype, name="conv_mask")(out, train)
+        return out, new_mask
+
+
+class CumBlock(nn.Module):
+    """Cumulative fusion block (reference `Cum_Block`, models.py:129-143)."""
+
+    cur_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, prev_feat, cur_feat):
+        h = conv1x1(self.cur_ch, dtype=self.dtype, name="up_conv1")(prev_feat)
+        h = upsample_nearest_2x(h)
+        h = conv3x3(self.cur_ch, dtype=self.dtype, name="up_conv3")(h)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        fused = h + cur_feat * gamma.astype(self.dtype)
+        return conv3x3(self.cur_ch, dtype=self.dtype, name="fuse")(fused)
+
+
+class Generator(nn.Module):
+    """Reference `Gen` (models.py:183-256), NHWC / TPU-native."""
+
+    ngf: int = 32
+    nz: int = 100
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, sent, attrs, train: bool = True
+                 ) -> List[jnp.ndarray]:
+        ngf = self.ngf
+        b = z.shape[0]
+        sent = sent.astype(self.dtype)
+        attrs = attrs.astype(self.dtype)
+
+        out = dense(ngf * 8 * 4 * 4, dtype=self.dtype, name="fc")(z.astype(self.dtype))
+        # torch view(B, 8*ngf, 4, 4) is channel-major; transpose to NHWC so a
+        # converted reference checkpoint reproduces identical activations.
+        out = out.reshape(b, ngf * 8, 4, 4).transpose(0, 2, 3, 1)
+
+        stage_mask = MaskHead(dtype=self.dtype, name="init_mask")(out, train)
+        fusion_mask = nn.sigmoid(stage_mask)
+
+        chans = [ngf * 8, ngf * 8, ngf * 8, ngf * 8, ngf * 4, ngf * 2, ngf * 1]
+        out, stage_mask = SAGBBlock(chans[0], True, dtype=self.dtype, name="block0")(
+            out, sent, sent, fusion_mask, train)
+
+        # Explore stage: blocks 1-3 at 8/16/32, conditioned on [sent, sent].
+        for ix, scale in enumerate((8, 16, 32)):
+            out = upsample_nearest_2x(out)
+            m = resize_bilinear_align_corners(stage_mask, (scale, scale))
+            fusion_mask = nn.sigmoid(m)
+            out, stage_mask = SAGBBlock(
+                chans[ix + 1], True, dtype=self.dtype, name=f"block{ix + 1}")(
+                out, sent, sent, fusion_mask, train)
+
+        x_32 = out
+        # Exploit stage: blocks 4-6 at 64/128/256, conditioned on [sent, attrs].
+        feats = {}
+        for ix, scale in enumerate((64, 128, 256)):
+            pred = scale != 256
+            out = upsample_nearest_2x(out)
+            m = resize_bilinear_align_corners(stage_mask, (scale, scale))
+            fusion_mask = nn.sigmoid(m)
+            out, new_mask = SAGBBlock(
+                chans[ix + 4], pred, dtype=self.dtype, name=f"block{ix + 4}")(
+                out, sent, attrs, fusion_mask, train)
+            if pred:
+                stage_mask = new_mask
+            feats[scale] = out
+
+        cum_64 = CumBlock(ngf * 4, dtype=self.dtype, name="cum_64")(x_32, feats[64])
+        cum_128 = CumBlock(ngf * 2, dtype=self.dtype, name="cum_128")(cum_64, feats[128])
+        cum_256 = CumBlock(ngf * 1, dtype=self.dtype, name="cum_256")(cum_128, feats[256])
+
+        img_64 = ToImage(dtype=self.dtype, name="get_image_64")(cum_64, train)
+        img_128 = ToImage(dtype=self.dtype, name="get_image_128")(cum_128, train)
+        img_256 = ToImage(dtype=self.dtype, name="get_image_256")(cum_256, train)
+
+        return [img_64.astype(jnp.float32),
+                img_128.astype(jnp.float32),
+                img_256.astype(jnp.float32)]

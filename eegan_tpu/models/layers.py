@@ -1,0 +1,176 @@
+"""Shared building blocks for all networks (NHWC, MXU-friendly).
+
+Design notes
+------------
+* Everything is NHWC — the native TPU conv layout (channels on the 128-lane
+  minor dimension).
+* Batch norm is plain `flax.linen.BatchNorm` computed over the *global*
+  batch under jit. With the batch sharded over the mesh ``data`` axis, XLA
+  lowers the mean/var reductions to ICI `psum`s automatically, which is the
+  TPU-native replacement for the reference's 661-LoC thread-rendezvous
+  sync-batchnorm (reference `sync_batchnorm/batchnorm.py:48-125`). Momentum
+  0.9 here equals torch momentum 0.1 (reference uses the torch default).
+* Weight init matches torch defaults (kaiming_uniform(a=sqrt(5)) == uniform
+  variance_scaling(1/3, fan_in)) so from-scratch training dynamics track the
+  reference; biases are zero-init (torch uses a small fan-in uniform — the
+  difference is negligible and zeros are friendlier to XLA constant folding).
+* Bilinear resize with ``align_corners=True`` (used for mask upsampling,
+  reference `models.py:220`) is not expressible with `jax.image.resize`; we
+  implement it as two small interpolation matmuls, which the MXU eats for
+  free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+# Torch nn.Conv2d / nn.Linear default kernel init: kaiming_uniform(a=sqrt(5)),
+# i.e. U(-sqrt(1/fan_in), +sqrt(1/fan_in)).
+torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def conv1x1(features: int, use_bias: bool = False, name: Optional[str] = None,
+            dtype: Dtype = jnp.float32) -> nn.Conv:
+    return nn.Conv(features, (1, 1), strides=(1, 1), padding="VALID",
+                   use_bias=use_bias, kernel_init=torch_kernel_init,
+                   dtype=dtype, name=name)
+
+
+def conv3x3(features: int, use_bias: bool = False, name: Optional[str] = None,
+            dtype: Dtype = jnp.float32) -> nn.Conv:
+    return nn.Conv(features, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                   use_bias=use_bias, kernel_init=torch_kernel_init,
+                   dtype=dtype, name=name)
+
+
+def conv4x4_down(features: int, use_bias: bool = False, name: Optional[str] = None,
+                 dtype: Dtype = jnp.float32) -> nn.Conv:
+    """4x4 stride-2 conv, padding 1 (reference `models.py:22`)."""
+    return nn.Conv(features, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                   use_bias=use_bias, kernel_init=torch_kernel_init,
+                   dtype=dtype, name=name)
+
+
+def dense(features: int, use_bias: bool = True, name: Optional[str] = None,
+          dtype: Dtype = jnp.float32, zero_init: bool = False) -> nn.Dense:
+    kinit = nn.initializers.zeros_init() if zero_init else torch_kernel_init
+    return nn.Dense(features, use_bias=use_bias, kernel_init=kinit,
+                    dtype=dtype, name=name)
+
+
+def batch_norm(train: bool, affine: bool = True, name: Optional[str] = None,
+               epsilon: float = 1e-5) -> nn.BatchNorm:
+    """Cross-replica batch norm (stats over the global batch under jit)."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,  # == torch momentum 0.1
+        epsilon=epsilon,
+        use_scale=affine,
+        use_bias=affine,
+        dtype=jnp.float32,  # normalisation stays in fp32 for stability
+        name=name,
+    )
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+# ---------------------------------------------------------------------------
+# Resize primitives
+# ---------------------------------------------------------------------------
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample, NHWC (reference `F.interpolate(x, 2)`)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _align_corners_matrix(src: int, dst: int) -> np.ndarray:
+    """Interpolation matrix A (dst x src) for 1-D align_corners=True linear."""
+    A = np.zeros((dst, src), dtype=np.float32)
+    if dst == 1 or src == 1:
+        A[:, 0] = 1.0
+        return A
+    scale = (src - 1) / (dst - 1)
+    for i in range(dst):
+        pos = i * scale
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, src - 1)
+        frac = pos - lo
+        A[i, lo] += 1.0 - frac
+        A[i, hi] += frac
+    return A
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with torch align_corners=True semantics, NHWC.
+
+    Used for the semantic-mask pyramid (reference `models.py:220`:
+    ``F.interpolate(mask, size=s, mode='bilinear', align_corners=True)``).
+    Implemented as two interpolation matmuls so it runs on the MXU instead of
+    a gather.
+    """
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    Ah = jnp.asarray(_align_corners_matrix(h, oh), dtype=x.dtype)
+    Aw = jnp.asarray(_align_corners_matrix(w, ow), dtype=x.dtype)
+    # (oh,h) x (b,h,w,c) -> (b,oh,w,c); then (ow,w) contraction.
+    x = jnp.einsum("Hh,bhwc->bHwc", Ah, x)
+    x = jnp.einsum("Ww,bhwc->bhWc", Aw, x)
+    return x
+
+
+def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize, align_corners=False (torch default / jax.image)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear")
+
+
+# ---------------------------------------------------------------------------
+# Composite heads shared by the generator (reference `models.py:25-41`)
+# ---------------------------------------------------------------------------
+
+class ToImage(nn.Module):
+    """BN -> LeakyReLU(0.2) -> conv3x3 -> tanh (reference `get_image`)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = batch_norm(train, name="bn")(x)
+        x = leaky_relu(x, 0.2)
+        x = conv3x3(3, dtype=self.dtype, name="conv")(x)
+        return jnp.tanh(x)
+
+
+class MaskHead(nn.Module):
+    """conv3x3 -> BN -> ReLU -> conv1x1 mask-logit head (reference `get_mask`)."""
+
+    mask_channels: int = 100
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = conv3x3(self.mask_channels, dtype=self.dtype, name="conv1")(x)
+        x = batch_norm(train, name="bn")(x)
+        x = nn.relu(x)
+        return conv1x1(1, dtype=self.dtype, name="conv2")(x)
