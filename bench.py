@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: fused train-step throughput at the CUB 256² flagship config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: bird recipe (GF=DF=32, batch 32, 3-scale pyramid, USE_CLASS on,
+bf16 compute) on whatever devices are visible (the driver runs it on one
+real TPU chip). Steady-state steps/sec after compile + warmup, reported as
+images/sec/chip.
+
+vs_baseline: the reference publishes no throughput (BASELINE.md); the
+denominator is an order-of-magnitude estimate of the reference PyTorch
+implementation on one A100 (40 img/s at bs32/256² given its 9 D-tower
+forwards, double D step and per-sample DAMSM python loop). The north-star is
+vs_baseline >= 3.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_REFERENCE_IMGS_PER_SEC = 40.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+
+    from eegan_tpu.config import Config
+    from eegan_tpu.data.synthetic import synthetic_batch
+    from eegan_tpu.models.factory import build_models
+    from eegan_tpu.parallel.mesh import make_mesh, shard_batch
+    from eegan_tpu.training.state import create_train_state
+    from eegan_tpu.training.steps import make_train_step
+
+    n_dev = len(jax.devices())
+    config = Config()
+    config.GAN.GF_DIM = 32  # cfg/bird.yml flagship
+    config.GAN.DF_DIM = 32
+    config.TRAIN.CLASS_NUM = 200
+    config.TRAIN.BATCH_SIZE = 32 * n_dev
+    config.RUNTIME.COMPUTE_DTYPE = "bfloat16"
+
+    mesh = make_mesh(f"data:{n_dev}")
+    models = build_models(config, n_words=5450)  # CUB vocab size
+    state, frozen = create_train_state(config, models, jax.random.PRNGKey(0))
+    step = make_train_step(config, models, mesh=mesh, donate=True)
+
+    batch = shard_batch(
+        synthetic_batch(config, config.TRAIN.BATCH_SIZE, n_words=5450), mesh)
+    rng = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    for _ in range(3):
+        state, metrics = step(state, frozen, batch, rng)
+    jax.block_until_ready(metrics)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, frozen, batch, rng)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = iters * config.TRAIN.BATCH_SIZE / dt
+    per_chip = imgs_per_sec / n_dev
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_256px_cub",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / A100_REFERENCE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

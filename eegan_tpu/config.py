@@ -73,6 +73,12 @@ class TrainConfig:
     B1: float = 0.0
     B2: float = 0.9
 
+    # Ablation coefficients. The reference exposes these only as argparse
+    # flags (`train.py:53-54`, defaults 10 / 0.05; train_cub.sh passes
+    # --class_coe 10 --sim_coe 0.25). CLI flags still override these.
+    CLASS_COE: float = 10.0
+    SIM_COE: float = 0.05
+
     SMOOTH: SmoothConfig = field(default_factory=SmoothConfig)
 
 

@@ -1,0 +1,91 @@
+"""Image transforms reproducing the reference training pipeline on the host.
+
+The reference composes torchvision transforms (reference `train.py:269-272`):
+Resize(imsize*76/64) -> RandomCrop(imsize) -> RandomHorizontalFlip, after an
+optional CUB bounding-box crop with a 0.75 margin (reference
+`datasets.py:391-424`), then per-branch Resize + ToTensor + Normalize(0.5).
+
+Implemented with PIL + numpy, with ALL randomness drawn from an explicit
+`numpy.random.Generator` so the pipeline is reproducible and shardable
+(SURVEY.md §7 "randomness discipline"). Output is NHWC float32 in [-1, 1].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def bbox_crop(img: Image.Image, bbox: Sequence[int]) -> Image.Image:
+    """CUB bbox crop with 0.75 margin (reference `datasets.py:402-410`)."""
+    width, height = img.size
+    r = int(np.maximum(bbox[2], bbox[3]) * 0.75)
+    center_x = int((2 * bbox[0] + bbox[2]) / 2)
+    center_y = int((2 * bbox[1] + bbox[3]) / 2)
+    y1 = np.maximum(0, center_y - r)
+    y2 = np.minimum(height, center_y + r)
+    x1 = np.maximum(0, center_x - r)
+    x2 = np.minimum(width, center_x + r)
+    return img.crop((x1, y1, x2, y2))
+
+
+def resize_shorter_side(img: Image.Image, size: int) -> Image.Image:
+    """torchvision Resize(int): scale so the shorter side == size."""
+    w, h = img.size
+    if w <= h:
+        ow, oh = size, max(1, int(round(size * h / w)))
+    else:
+        oh, ow = size, max(1, int(round(size * w / h)))
+    return img.resize((ow, oh), Image.BILINEAR)
+
+
+def random_crop(img: Image.Image, size: int, rng: np.random.Generator) -> Image.Image:
+    w, h = img.size
+    if w < size or h < size:
+        img = img.resize((max(w, size), max(h, size)), Image.BILINEAR)
+        w, h = img.size
+    x = int(rng.integers(0, w - size + 1))
+    y = int(rng.integers(0, h - size + 1))
+    return img.crop((x, y, x + size, y + size))
+
+
+def to_normalized_array(img: Image.Image) -> np.ndarray:
+    """ToTensor + Normalize(0.5, 0.5): uint8 -> float32 in [-1, 1], HWC."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return arr * 2.0 - 1.0
+
+
+def load_image_pyramid(path: str, imsizes: Sequence[int],
+                       bbox: Optional[Sequence[int]],
+                       rng: Optional[np.random.Generator],
+                       augment: bool = True) -> List[np.ndarray]:
+    """Full per-sample image path -> [img64, img128, img256] float32 NHWC.
+
+    Mirrors `TextDataset.get_imgs` (reference `datasets.py:391-424`): the
+    largest branch gets the augmented crop directly; smaller branches are
+    bilinear-resized from it.
+    """
+    img = Image.open(path).convert("RGB")
+    if bbox is not None:
+        img = bbox_crop(img, bbox)
+
+    base = imsizes[-1]
+    if augment:
+        assert rng is not None
+        img = resize_shorter_side(img, int(base * 76 / 64))
+        img = random_crop(img, base, rng)
+        if rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    else:
+        img = resize_shorter_side(img, base)
+        w, h = img.size  # center crop
+        x, y = (w - base) // 2, (h - base) // 2
+        img = img.crop((x, y, x + base, y + base))
+
+    out = []
+    for s in imsizes:
+        branch = img if s == base else img.resize((s, s), Image.BILINEAR)
+        out.append(to_normalized_array(branch))
+    return out

@@ -1,0 +1,196 @@
+"""Checkpoint evaluation sweep: bulk generation + R-precision.
+
+Rebuilds `Tester` (reference `test.py:74-374`): for each epoch checkpoint
+(default sweep 550..700 step 10, reference `test.py:96-97`) and repeat,
+generate ``sampling_nums`` images from test-set captions into
+``GenImage/Epoch_{e}_{r}/`` (feeding the FID/IS folder harnesses), and
+optionally compute R-precision: rank the true caption against 99 wrong-class
+captions by DAMSM cosine similarity, hit iff rank 1, mean±std over 10
+clusters (reference `test.py:306-357`).
+
+TPU-native differences: generation and the image/text encoders run as
+batched jitted programs (the reference scores caption-by-caption in python);
+image writing happens on a background thread so the device never waits on
+PNG encoding.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eegan_tpu.config import Config
+from eegan_tpu.data.datasets import TextOnlyDataset
+from eegan_tpu.models.factory import ModelBundle, build_models
+from eegan_tpu.training.state import FrozenEncoders
+from eegan_tpu.training.steps import make_sample_step
+from eegan_tpu.utils.images import mkdir_p, save_img_results_one_by_one
+
+
+class Tester:
+    def __init__(self, config: Config, models: ModelBundle,
+                 frozen: FrozenEncoders, dataset: Optional[TextOnlyDataset] = None,
+                 batch_size: Optional[int] = None):
+        self.config = config
+        self.models = models
+        self.frozen = frozen
+        self.dataset = dataset or TextOnlyDataset(config, split="test")
+        self.batch_size = batch_size or config.TRAIN.BATCH_SIZE
+        self.sample_step = make_sample_step(config, models)
+
+        @jax.jit
+        def _encode_image(image_vars, imgs):
+            _, code = models.image_encoder.apply(image_vars, imgs, train=False)
+            return code
+
+        @jax.jit
+        def _encode_sents(text_vars, caps, lens):
+            _, sent = models.text_encoder.apply(text_vars, caps, lens,
+                                                train=False)
+            return sent
+
+        self._encode_image = _encode_image
+        self._encode_sents = _encode_sents
+
+    # ------------------------------------------------------------------
+    def _batches(self, total: int, rng: np.random.Generator):
+        """Cycle the test set until `total` samples are drawn
+        (reference `traverse_dataset_30k`, test.py:244-278)."""
+        n = len(self.dataset)
+        drawn = 0
+        order = rng.permutation(n)
+        pos = 0
+        while drawn < total:
+            idxs = []
+            while len(idxs) < self.batch_size:
+                if pos == len(order):
+                    order = rng.permutation(n)
+                    pos = 0
+                idxs.append(int(order[pos]))
+                pos += 1
+            samples = [self.dataset.sample(i, rng) for i in idxs]
+            batch = {k: (np.stack([s[k] for s in samples])
+                         if not isinstance(samples[0][k], str)
+                         else [s[k] for s in samples])
+                     for k in samples[0]}
+            drawn += self.batch_size
+            yield batch
+
+    def generate(self, g_params, attr_params, g_stats, out_dir: str,
+                 sampling_nums: int = 30000, seed: int = 100,
+                 compute_r_precision: bool = False,
+                 r_val: int = 100, clusters: int = 10) -> Dict[str, float]:
+        """Generate `sampling_nums` 256² images into out_dir; optionally score
+        R-precision along the way."""
+        mkdir_p(out_dir)
+        rng = np.random.default_rng([seed])
+        hits: List[np.ndarray] = []
+
+        # Background PNG writer so device generation never blocks on IO.
+        q: "queue.Queue" = queue.Queue(maxsize=8)
+
+        def writer():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                imgs, names = item
+                save_img_results_one_by_one(imgs, names, out_dir)
+
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+
+        produced = 0
+        batch_idx = 0
+        for batch in self._batches(sampling_nums, rng):
+            key = jax.random.PRNGKey(seed * 100003 + batch_idx)
+            imgs = self.sample_step(
+                g_params, attr_params, g_stats, self.frozen,
+                jnp.asarray(batch["caps"]), jnp.asarray(batch["cap_lens"]),
+                jnp.asarray(batch["attrs"]), jnp.asarray(batch["attr_lens"]),
+                key)
+            img256 = np.asarray(imgs[-1])
+            names = [f"{k.replace('/', '_')}_{batch_idx}_{j}"
+                     for j, k in enumerate(batch["keys"])]
+            take = min(len(img256), sampling_nums - produced)
+            q.put((img256[:take], names[:take]))
+
+            if compute_r_precision:
+                hits.append(self._r_precision_batch(batch, img256, r_val, rng))
+
+            produced += take
+            batch_idx += 1
+
+        q.put(None)
+        wt.join()
+
+        out = {"generated": float(produced)}
+        if compute_r_precision and hits:
+            all_hits = np.concatenate(hits)[:sampling_nums]
+            chunks = np.array_split(all_hits, clusters)
+            rates = [float(np.mean(c)) for c in chunks if len(c)]
+            out["r_precision_mean"] = float(np.mean(rates))
+            out["r_precision_std"] = float(np.std(rates))
+        return out
+
+    def _r_precision_batch(self, batch, img256: np.ndarray, r_val: int,
+                           rng: np.random.Generator) -> np.ndarray:
+        """Per-sample: cosine-rank the true caption among r_val-1 wrong ones
+        (reference `cal_sim_one_by_one`, test.py:306-357), batched."""
+        b = len(img256)
+        t = self.config.TEXT.WORDS_NUM
+
+        caps_all = np.zeros((b, r_val, t), np.int32)
+        lens_all = np.zeros((b, r_val), np.int32)
+        caps_all[:, 0] = batch["caps"]
+        lens_all[:, 0] = batch["cap_lens"]
+        for i in range(b):
+            wc, wl = self.dataset.wrong_captions(
+                int(batch["class_ids"][i]), rng, r_val)
+            caps_all[i, 1:] = wc
+            lens_all[i, 1:] = wl
+
+        sent = self._encode_sents(
+            self.frozen.text_vars,
+            jnp.asarray(caps_all.reshape(b * r_val, t)),
+            jnp.asarray(lens_all.reshape(b * r_val)))
+        sent = np.asarray(sent).reshape(b, r_val, -1)
+        code = np.asarray(self._encode_image(
+            self.frozen.image_vars, jnp.asarray(img256)))
+
+        sims = np.einsum("bd,brd->br", code, sent)
+        sims /= np.maximum(
+            np.linalg.norm(code, axis=-1, keepdims=True)
+            * np.linalg.norm(sent, axis=-1), 1e-8)
+        return (np.argmax(sims, axis=1) == 0)
+
+    # ------------------------------------------------------------------
+    def sweep(self, ckpt_manager, select_epochs: Sequence[int],
+              repeat_times: int, gen_root: str, sampling_nums: int = 30000,
+              compute_r_precision: bool = False,
+              saving_images: bool = True) -> Dict:
+        """Epoch×repeat sweep (reference `Tester.main`, test.py:184-242)."""
+        template = {"g_params": None, "g_stats": None, "attr_params": None}
+        results = {}
+        for epoch in select_epochs:
+            try:
+                restored = ckpt_manager.load_generator(epoch, None)
+            except Exception as e:  # missing checkpoint: skip, like the sweep
+                print(f"epoch {epoch}: no checkpoint ({e})")
+                continue
+            for r in range(repeat_times):
+                out_dir = os.path.join(gen_root, f"Epoch_{epoch}_{r}")
+                res = self.generate(
+                    restored["g_params"], restored["attr_params"],
+                    restored["g_stats"], out_dir,
+                    sampling_nums=sampling_nums, seed=epoch * 1000 + r,
+                    compute_r_precision=compute_r_precision)
+                results[(epoch, r)] = res
+                print(f"Epoch_{epoch}_{r}: {res}")
+        return results

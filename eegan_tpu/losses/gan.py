@@ -47,7 +47,8 @@ def magp_from_grads(grad_img: jnp.ndarray, grad_sent: jnp.ndarray) -> jnp.ndarra
     """
     b = grad_img.shape[0]
     g = jnp.concatenate(
-        [grad_img.reshape(b, -1), grad_sent.reshape(b, -1)], axis=1)
+        [grad_img.reshape(b, -1).astype(jnp.float32),
+         grad_sent.reshape(b, -1).astype(jnp.float32)], axis=1)
     norm = jnp.sqrt(jnp.sum(g ** 2, axis=1))
     return 2.0 * jnp.mean(norm ** 6)
 

@@ -1,0 +1,297 @@
+"""The fused GAN train step: one jitted XLA program per iteration.
+
+Reproduces the per-iteration semantics of the reference hot loop
+(`train.py:148-211, 437-502`) but as a *single* compiled function:
+
+  1. frozen text encoding of caption + N attrs + unpaired caption — batched
+     into ONE BiLSTM call over 5B sequences (the reference runs five
+     separate forwards, `train.py:169-184`);
+  2. attr-enhance + generator forward (fake image pyramid);
+  3. per scale: hinge D step (real / fake / mismatch / class), Adam update,
+     then the MAGP gradient-penalty step as a SECOND Adam update at the
+     freshly updated D params — the reference's two-optimizer-step quirk
+     (`train.py:452-459`) is preserved exactly;
+  4. G update against the *updated* discriminators + DAMSM sent/word/attr
+     losses through the frozen Inception encoder (`train.py:471-502`).
+
+The generator forward appears both in the D phase (stop-gradient) and inside
+the G loss; both live in the same jit so XLA CSE merges the pure parts.
+Batch-norm statistics are computed over the global (mesh-sharded) batch —
+GSPMD inserts the ICI psums that replace the reference's sync_batchnorm.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from eegan_tpu.config import Config
+from eegan_tpu.losses import damsm as damsm_losses
+from eegan_tpu.losses import gan as gan_losses
+from eegan_tpu.models.attr_enhance import AttrEnhance
+from eegan_tpu.models.factory import ModelBundle
+from eegan_tpu.parallel.mesh import DATA_AXIS
+from eegan_tpu.training.state import FrozenEncoders, TrainState, make_optimizers
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def encode_text_bundle(models: ModelBundle, frozen: FrozenEncoders,
+                       config: Config, batch: Batch):
+    """One BiLSTM forward over [caps; unpair; attrs] (5B sequences).
+
+    Returns words (B,T,D), sent (B,D), unpair_sent (B,D), attrs_emb (B,A,D).
+    """
+    caps = batch["caps"]
+    b, t = caps.shape
+    a_num = config.TEXT.MAX_ATTR_NUM
+    a_len = config.TEXT.MAX_ATTR_LEN
+
+    attrs = batch["attrs"].reshape(b * a_num, a_len)
+    attrs = jnp.pad(attrs, ((0, 0), (0, t - a_len)))
+    attr_lens = jnp.maximum(batch["attr_lens"].reshape(b * a_num), 1)
+
+    caps_all = jnp.concatenate([caps, batch["unpair_caps"], attrs], axis=0)
+    lens_all = jnp.concatenate(
+        [batch["cap_lens"], batch["unpair_cap_lens"], attr_lens], axis=0)
+
+    words_all, sent_all = models.text_encoder.apply(
+        frozen.text_vars, caps_all, lens_all, train=False)
+
+    words = words_all[:b]
+    sent = sent_all[:b]
+    unpair_sent = sent_all[b:2 * b]
+    attrs_emb = sent_all[2 * b:].reshape(b, a_num, -1)
+    return words, sent, unpair_sent, attrs_emb
+
+
+def make_train_step(config: Config, models: ModelBundle,
+                    mesh: Optional[Mesh] = None, donate: bool = True):
+    """Build the jitted train step: (state, frozen, batch, rng) -> (state, metrics)."""
+    g_tx, d_tx = make_optimizers(config)
+    n_scales = len(models.scales)
+    use_class = config.TRAIN.USE_CLASS
+    class_num = config.TRAIN.CLASS_NUM
+    class_coe = config.TRAIN.CLASS_COE
+    sim_coe = config.TRAIN.SIM_COE
+    sm = config.TRAIN.SMOOTH
+    nz = config.GAN.Z_DIM
+
+    def disc_features(i, dp, img):
+        return models.discriminators[i].apply({"params": dp}, img,
+                                              method="features")
+
+    def disc_head(i, dp, feat, cond):
+        return models.discriminators[i].apply({"params": dp}, feat, cond,
+                                              method="head")
+
+    def gen_forward(g_params, attr_params, g_stats, noise, sent, attrs_emb):
+        _, attn_attrs = models.attr_enhance.apply(
+            {"params": attr_params}, sent, attrs_emb)
+        merged = AttrEnhance.attr_merge(attn_attrs)
+        imgs, mutated = models.generator.apply(
+            {"params": g_params, "batch_stats": g_stats},
+            noise, sent, merged, train=True, mutable=["batch_stats"])
+        return imgs, merged, mutated["batch_stats"]
+
+    def d_scale_update(i, dp, d_opt, real, fake, sent, unpair_sent,
+                       class_labels):
+        """Hinge step then MAGP step (reference train.py:437-459)."""
+        is_class_scale = use_class and i == n_scales - 1
+        metrics = {}
+
+        def loss_fn(p):
+            feat_real = disc_features(i, p, real)
+            feat_fake = disc_features(i, p, fake)
+            if is_class_scale:
+                real_out, real_cls = disc_head(i, p, feat_real, sent)
+                unpair_out, unpair_cls = disc_head(i, p, feat_real, unpair_sent)
+                fake_out, fake_cls = disc_head(i, p, feat_fake, sent)
+                err_real_c = gan_losses.bce_with_logits(real_cls, class_labels)
+                err_fake_c = gan_losses.bce_with_logits(fake_cls, class_labels)
+                err_unpair_c = gan_losses.bce_with_logits(unpair_cls, class_labels)
+            else:
+                real_out = disc_head(i, p, feat_real, sent)
+                unpair_out = disc_head(i, p, feat_real, unpair_sent)
+                fake_out = disc_head(i, p, feat_fake, sent)
+                err_real_c = err_fake_c = err_unpair_c = jnp.float32(0)
+            err_real = gan_losses.hinge_real(real_out)
+            err_fake = gan_losses.hinge_fake(fake_out)
+            err_unpair = gan_losses.hinge_fake(unpair_out)
+            loss = gan_losses.d_hinge_total(err_real, err_fake, err_unpair)
+            if is_class_scale:
+                loss = loss + (err_real_c + err_fake_c + err_unpair_c) / 3.0 * class_coe
+            aux = {"real_sent": err_real, "fake_sent": err_fake,
+                   "unpair_sent": err_unpair}
+            if is_class_scale:
+                aux.update({"real_class": err_real_c, "fake_class": err_fake_c,
+                            "unpair_class": err_unpair_c})
+            return loss, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(dp)
+        updates, d_opt = d_tx.update(grads, d_opt, dp)
+        dp = optax.apply_updates(dp, updates)
+        metrics.update({f"errD_{i}/{k}": v for k, v in aux.items()})
+
+        # --- MAGP second step at the freshly updated params ---
+        def gp_loss_fn(p):
+            def pair_sum(img, s):
+                feat = disc_features(i, p, img)
+                out = disc_head(i, p, feat, s)
+                if is_class_scale:
+                    out = out[0]
+                return out.sum()
+
+            gi, gs = jax.grad(pair_sum, argnums=(0, 1))(real, sent)
+            return gan_losses.magp_from_grads(gi, gs)
+
+        gp, grads = jax.value_and_grad(gp_loss_fn)(dp)
+        updates, d_opt = d_tx.update(grads, d_opt, dp)
+        dp = optax.apply_updates(dp, updates)
+        metrics[f"errD_{i}/d_loss_gp"] = gp
+        return dp, d_opt, metrics
+
+    def train_step(state: TrainState, frozen: FrozenEncoders, batch: Batch,
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        words, sent, unpair_sent, attrs_emb = encode_text_bundle(
+            models, frozen, config, batch)
+        words = jax.lax.stop_gradient(words)
+        sent = jax.lax.stop_gradient(sent)
+        unpair_sent = jax.lax.stop_gradient(unpair_sent)
+        attrs_emb = jax.lax.stop_gradient(attrs_emb)
+
+        b = sent.shape[0]
+        noise = jax.random.normal(rng, (b, nz), jnp.float32)
+        class_ids = batch["class_ids"]
+        class_labels = gan_losses.one_hot_class_labels(class_ids, class_num) \
+            if use_class else None
+
+        # Fake pyramid for the D phase (stop-grad; CSE'd with the G phase).
+        fake_imgs, _, _ = gen_forward(state.g_params, state.attr_params,
+                                      state.g_stats, noise, sent, attrs_emb)
+        fake_sg = [jax.lax.stop_gradient(im) for im in fake_imgs]
+
+        metrics: Dict[str, jnp.ndarray] = {}
+        new_d_params, new_d_opts = [], []
+        for i in range(n_scales):
+            real = batch[f"img{models.scales[i]}"]
+            dp, d_opt, m = d_scale_update(
+                i, state.d_params[i], state.d_opts[i], real, fake_sg[i],
+                sent, unpair_sent, class_labels)
+            new_d_params.append(dp)
+            new_d_opts.append(d_opt)
+            metrics.update(m)
+
+        # --- G phase against the updated discriminators ---
+        def g_loss_fn(gp_ap):
+            gp, ap = gp_ap
+            imgs, merged, new_stats = gen_forward(
+                gp, ap, state.g_stats, noise, sent, attrs_emb)
+            aux = {}
+            total = jnp.float32(0)
+            for i in range(n_scales):
+                feat = disc_features(i, new_d_params[i], imgs[i])
+                out = disc_head(i, new_d_params[i], feat, sent)
+                if use_class and i == n_scales - 1:
+                    pair, cls = out
+                    err_g = -pair.mean()
+                    err_g_c = gan_losses.bce_with_logits(cls, class_labels)
+                    total = total + err_g + err_g_c * class_coe
+                    aux[f"errG/G_{i}_fake_class"] = err_g_c
+                else:
+                    err_g = -out.mean()
+                    total = total + err_g
+                aux[f"errG/G_{i}_fake_sent"] = err_g
+
+            # DAMSM losses on the 256² image (reference train.py:419-435).
+            region, code = models.image_encoder.apply(
+                frozen.image_vars, imgs[-1], train=False)
+            s0, s1 = damsm_losses.sent_loss(code, sent, class_ids, sm.GAMMA3)
+            s_loss = (s0 + s1) * sm.LAMBDA
+            w0, w1 = damsm_losses.words_loss(
+                region, words, batch["cap_lens"], class_ids,
+                sm.GAMMA1, sm.GAMMA2, sm.GAMMA3)
+            w_loss = (w0 + w1) * sm.LAMBDA
+            a0, a1 = damsm_losses.sent_loss(code, merged, class_ids, sm.GAMMA3)
+            a_loss = (a0 + a1) * sm.LAMBDA
+            total = total + sim_coe * (s_loss + w_loss + a_loss)
+            aux.update({"errG/s_loss": s_loss, "errG/w_loss": w_loss,
+                        "errG/a_loss": a_loss, "errG/total": total})
+            return total, (new_stats, aux)
+
+        (_, (new_g_stats, g_aux)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)((state.g_params, state.attr_params))
+        g_updates, new_g_opt = g_tx.update(
+            g_grads, state.g_opt, (state.g_params, state.attr_params))
+        new_gp, new_ap = optax.apply_updates(
+            (state.g_params, state.attr_params), g_updates)
+        metrics.update(g_aux)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            g_params=new_gp,
+            attr_params=new_ap,
+            g_stats=new_g_stats,
+            g_opt=new_g_opt,
+            d_params=tuple(new_d_params),
+            d_opts=tuple(new_d_opts),
+        )
+        return new_state, metrics
+
+    donate_args = (0,) if donate else ()
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.jit(
+            train_step,
+            donate_argnums=donate_args,
+            in_shardings=(repl, repl, bsh, repl),
+            out_shardings=(repl, repl),
+        )
+    return jax.jit(train_step, donate_argnums=donate_args)
+
+
+def make_sample_step(config: Config, models: ModelBundle,
+                     mesh: Optional[Mesh] = None):
+    """Jitted inference: (g/attr params+stats, frozen, caps, lens, attrs, attr_lens, rng) -> image pyramid.
+
+    Eval-mode BN (running averages), mirroring `Trainer.save_images` /
+    `Tester.gen_one_batch_attr` (reference `train.py:321-331`, `test.py:280`).
+    """
+
+    def sample(g_params, attr_params, g_stats, frozen: FrozenEncoders,
+               caps, cap_lens, attrs, attr_lens, rng):
+        b = caps.shape[0]
+        a_num = config.TEXT.MAX_ATTR_NUM
+        a_len = config.TEXT.MAX_ATTR_LEN
+        t = config.TEXT.WORDS_NUM
+
+        flat_attrs = attrs.reshape(b * a_num, a_len)
+        flat_attrs = jnp.pad(flat_attrs, ((0, 0), (0, t - a_len)))
+        flat_lens = jnp.maximum(attr_lens.reshape(b * a_num), 1)
+        caps_all = jnp.concatenate([caps, flat_attrs], axis=0)
+        lens_all = jnp.concatenate([cap_lens, flat_lens], axis=0)
+        _, sent_all = models.text_encoder.apply(
+            frozen.text_vars, caps_all, lens_all, train=False)
+        sent = sent_all[:b]
+        attrs_emb = sent_all[b:].reshape(b, a_num, -1)
+
+        _, attn_attrs = models.attr_enhance.apply(
+            {"params": attr_params}, sent, attrs_emb)
+        merged = AttrEnhance.attr_merge(attn_attrs)
+        noise = jax.random.normal(rng, (b, config.GAN.Z_DIM), jnp.float32)
+        imgs = models.generator.apply(
+            {"params": g_params, "batch_stats": g_stats},
+            noise, sent, merged, train=False)
+        return imgs
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.jit(sample, in_shardings=(
+            repl, repl, repl, repl, bsh, bsh, bsh, bsh, repl))
+    return jax.jit(sample)

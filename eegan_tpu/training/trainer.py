@@ -1,0 +1,194 @@
+"""Training driver: epoch loop, logging, checkpointing, fixed-batch sampling.
+
+Rebuilds `Trainer` (reference `train.py:105-502`) on TPU-native plumbing:
+
+* one fused jitted train step per iteration (see `training/steps.py`);
+* data flows through the deterministic host pipeline with device prefetch;
+* Orbax checkpoints carry the FULL train state (optimizer moments included)
+  so training truly resumes — the reference restarts from epoch 1 always;
+* per-epoch fixed-batch image grids + caption/attr text dump, scalar metrics
+  every UPDATE_INTERVAL iterations (reference tags preserved);
+* wall-clock images/sec is tracked and logged — the perf metric the
+  reference never measured.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eegan_tpu.config import Config
+from eegan_tpu.data.pipeline import DataPipeline, device_prefetch
+from eegan_tpu.models.factory import ModelBundle, build_models
+from eegan_tpu.parallel.mesh import make_mesh, shard_batch
+from eegan_tpu.training.checkpoint import CheckpointManager
+from eegan_tpu.training.logging import MetricWriter, StepTimer
+from eegan_tpu.training.state import FrozenEncoders, TrainState, create_train_state
+from eegan_tpu.training.steps import make_sample_step, make_train_step
+from eegan_tpu.utils.images import (
+    mkdir_p,
+    save_img_results,
+    save_text_results,
+)
+
+UPDATE_INTERVAL = 100  # reference train.py:34
+
+
+def load_frozen_encoders(config: Config, models: ModelBundle,
+                         init_frozen: FrozenEncoders) -> FrozenEncoders:
+    """Resolve the frozen DAMSM encoders.
+
+    Priority: torch .pth via the converter (reference loads AttnGAN
+    checkpoints, `train.py:233-248`) > previously converted Orbax dir >
+    random init (smoke mode, warned).
+    """
+    name = config.TEXT.DAMSM_NAME
+    if name and name.endswith(".pth") and os.path.isfile(name):
+        from eegan_tpu.utils.torch_convert import load_damsm_encoders
+
+        return load_damsm_encoders(name, models, init_frozen)
+    if name and os.path.isdir(name):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(name), target={
+            "text_vars": init_frozen.text_vars,
+            "image_vars": init_frozen.image_vars})
+        return FrozenEncoders(**restored)
+    print("WARNING: TEXT.DAMSM_NAME not found — using randomly initialised "
+          "frozen encoders (smoke mode)")
+    return init_frozen
+
+
+class Trainer:
+    def __init__(self, config: Config, output_dir: str, dataset=None,
+                 seed: int = 3407, data_workers: Optional[int] = None):
+        self.config = config
+        self.output_dir = output_dir
+        self.model_dir = os.path.join(output_dir, "Model")
+        self.image_dir = os.path.join(output_dir, "Image")
+        mkdir_p(self.image_dir)
+        mkdir_p(self.model_dir)
+        self.seed = seed
+
+        self.mesh = make_mesh(config.RUNTIME.MESH)
+        self.batch_size = config.TRAIN.BATCH_SIZE
+        if self.batch_size % self.mesh.devices.size != 0:
+            raise ValueError(
+                f"batch size {self.batch_size} not divisible by "
+                f"{self.mesh.devices.size} devices")
+
+        # ---- data ----------------------------------------------------
+        if dataset is None:
+            from eegan_tpu.data.datasets import TextImageDataset
+
+            dataset = TextImageDataset(config, split="train")
+        self.dataset = dataset
+        self.n_words = dataset.n_words
+        self.ixtoword = dataset.ixtoword
+        workers = (config.RUNTIME.DATA_WORKERS
+                   if data_workers is None else data_workers)
+        self.pipeline = DataPipeline(dataset, self.batch_size, seed=seed,
+                                     num_workers=workers)
+
+        # ---- models / state -----------------------------------------
+        self.models = build_models(config, self.n_words)
+        rng = jax.random.PRNGKey(seed)
+        self.state, init_frozen = create_train_state(config, self.models, rng)
+        self.frozen = load_frozen_encoders(config, self.models, init_frozen)
+        self.frozen = jax.device_put(
+            self.frozen, jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()))
+
+        self.train_step = make_train_step(config, self.models, mesh=self.mesh,
+                                          donate=config.RUNTIME.DONATE)
+        self.sample_step = make_sample_step(config, self.models, mesh=self.mesh)
+
+        # ---- bookkeeping --------------------------------------------
+        self.ckpt = CheckpointManager(self.model_dir)
+        self.writer = MetricWriter(os.path.join(output_dir, "writer"))
+        self.start_epoch = 1
+        latest = self.ckpt.latest_epoch()
+        if latest is not None:
+            self.state, epoch = self.ckpt.restore_state(self.state)
+            self.start_epoch = epoch + 1
+            print(f"Resumed from epoch {epoch}")
+        self.max_epoch = config.TRAIN.MAX_EPOCH + 1
+        self.iters_cnt = 0
+        self.timer = StepTimer(self.batch_size)
+
+        self._sample_batch = self._prepare_sampling()
+
+    # ------------------------------------------------------------------
+    def _prepare_sampling(self) -> Dict[str, np.ndarray]:
+        """Fixed batch for per-epoch visualisation (reference
+        `prepare_sampling`, train.py:282-306)."""
+        batch = next(self.pipeline.epoch(0))
+        save_text_results(
+            batch["caps"], batch["cap_lens"], self.ixtoword,
+            os.path.join(self.image_dir, "sampling_text.txt"),
+            batch.get("attrs"), batch.get("attr_lens"))
+        pyramid = [batch[f"img{s}"] for s in self.config.imsizes]
+        save_img_results(pyramid, prefix="sample_image",
+                         image_dir=self.image_dir)
+        return batch
+
+    def save_images(self, epoch: int) -> None:
+        b = self._sample_batch
+        imgs = self.sample_step(
+            self.state.g_params, self.state.attr_params, self.state.g_stats,
+            self.frozen,
+            jnp.asarray(b["caps"]), jnp.asarray(b["cap_lens"]),
+            jnp.asarray(b["attrs"]), jnp.asarray(b["attr_lens"]),
+            jax.random.PRNGKey(epoch))
+        save_img_results([np.asarray(im) for im in imgs],
+                         prefix=f"epoch_{epoch}", image_dir=self.image_dir)
+
+    def save_model(self, epoch: int) -> None:
+        """Epoch-gated saving (reference `save_model`, train.py:308-319) +
+        full-state checkpoint for resume."""
+        t = self.config.TRAIN
+        if epoch == 1 or (epoch >= t.WARMUP_EPOCHS and epoch % t.GSAVE_INTERVAL == 0):
+            self.ckpt.save_generator(epoch, self.state)
+            print("Save Gen model.")
+        if epoch == 1 or (epoch >= t.WARMUP_EPOCHS and epoch % t.DSAVE_INTERVAL == 0):
+            self.ckpt.save_state(epoch, self.state)
+            print("Save full train state.")
+
+    # ------------------------------------------------------------------
+    def train(self, max_epochs: Optional[int] = None,
+              max_iters_per_epoch: Optional[int] = None) -> None:
+        end_epoch = self.max_epoch if max_epochs is None \
+            else min(self.max_epoch, self.start_epoch + max_epochs)
+        base_rng = jax.random.PRNGKey(self.seed)
+
+        for epoch in range(self.start_epoch, end_epoch):
+            it = device_prefetch(self.pipeline.epoch(epoch), self.mesh)
+            for i, batch in enumerate(it):
+                if max_iters_per_epoch is not None and i >= max_iters_per_epoch:
+                    break
+                step_rng = jax.random.fold_in(
+                    base_rng, int(self.state.step))
+                self.state, metrics = self.train_step(
+                    self.state, self.frozen, batch, step_rng)
+                self.timer.tick()
+
+                if i % UPDATE_INTERVAL == 0:
+                    self.iters_cnt += 1
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    ips = self.timer.images_per_sec
+                    if ips is not None:
+                        scalars["perf/images_per_sec"] = ips
+                    self.writer.write_scalars(self.iters_cnt, scalars)
+
+            self.save_images(epoch)
+            self.save_model(epoch)
+
+    def close(self):
+        self.pipeline.close()
+        self.writer.close()
+        self.ckpt.close()

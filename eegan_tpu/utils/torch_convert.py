@@ -1,0 +1,241 @@
+"""Torch checkpoint -> Flax conversion.
+
+The reference trains against *frozen* AttnGAN DAMSM encoders loaded from
+torch ``.pth`` files (reference `train.py:233-248`) and evaluates epoch-
+stamped generator checkpoints (`test.py:205-211`). To reach FID parity with
+reference checkpoints we convert their weights into our NHWC/Flax layouts:
+
+* conv  weight (O, I, kh, kw)  -> kernel (kh, kw, I, O)
+* linear weight (O, I)         -> kernel (I, O)
+* BN weight/bias/running_mean/running_var -> scale/bias + batch_stats
+* LSTM/GRU weights keep the torch cuDNN layout verbatim (our text encoder
+  stores them that way, `models/text_encoder.py`)
+* the generator's fc seed reshape is handled inside the model (channel-major
+  reshape then NHWC transpose), so no weight permutation is needed there.
+
+Only `torch.load` is used from torch, on CPU, at conversion time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def conv_kernel(t) -> np.ndarray:
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def linear_kernel(t) -> np.ndarray:
+    return _np(t).transpose(1, 0)
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    # strip DataParallel 'module.' prefixes (reference wraps G in
+    # DataParallelWithCallback before saving, train.py:219-220)
+    out = {}
+    for k, v in sd.items():
+        out[k.removeprefix("module.")] = _np(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Generic structural conversion: walk the flax template, derive the torch key.
+# ---------------------------------------------------------------------------
+
+def _torch_key(path, collection: str) -> Optional[str]:
+    """Map a flax param path to the torch state-dict key."""
+    parts = [str(p) for p in path]
+    leaf = parts[-1]
+    prefix = ".".join(parts[:-1])
+    if collection == "batch_stats":
+        if leaf == "mean":
+            return f"{prefix}.running_mean"
+        if leaf == "var":
+            return f"{prefix}.running_var"
+        return None
+    if leaf == "kernel":
+        return f"{prefix}.weight"
+    if leaf in ("scale",):
+        return f"{prefix}.weight"
+    if leaf == "bias":
+        return f"{prefix}.bias"
+    if leaf == "embedding":
+        return f"{prefix}.weight" if prefix else "weight"
+    return f"{prefix}.{leaf}" if prefix else leaf
+
+
+def convert_by_template(template: Any, sd: Dict[str, np.ndarray],
+                        collection: str, rename=None,
+                        strict: bool = True) -> Any:
+    """Fill a flax variable tree from a torch state dict.
+
+    ``rename(torch_key) -> torch_key`` adapts naming differences.
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(template)[0]
+    treedef = jax.tree_util.tree_structure(template)
+    leaves = []
+    for path, leaf in flat:
+        names = tuple(getattr(p, "key", getattr(p, "name", str(p)))
+                      for p in path)
+        tk = _torch_key(names, collection)
+        if rename is not None:
+            tk = rename(tk, names)
+        if tk not in sd:
+            if strict:
+                raise KeyError(f"torch key {tk!r} (for flax {names}) missing; "
+                               f"have e.g. {list(sd)[:5]}")
+            leaves.append(leaf)
+            continue
+        w = sd[tk]
+        if np.ndim(leaf) == 4 and w.ndim == 4:
+            w = w.transpose(2, 3, 1, 0)
+        elif names[-1] == "kernel" and w.ndim == 2:
+            w = w.transpose(1, 0)
+        if w.shape != np.shape(leaf):
+            raise ValueError(
+                f"shape mismatch for {tk}: torch {w.shape} vs flax "
+                f"{np.shape(leaf)} at {names}")
+        leaves.append(np.asarray(w, dtype=np.float32))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Text encoder (reference RNN_ENCODER state dict)
+# ---------------------------------------------------------------------------
+
+def convert_text_encoder(sd: Dict[str, np.ndarray], template_vars) -> Any:
+    """RNN_ENCODER .pth -> our TextEncoder variables.
+
+    Torch keys: encoder.weight, rnn.{weight,bias}_{ih,hh}_l0[_reverse].
+    """
+    params = dict(template_vars["params"])
+    params["embedding"] = np.asarray(sd["encoder.weight"], np.float32)
+    fwd, bwd = {}, {}
+    for g in ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0"):
+        ours = g.replace("weight_", "w_").replace("bias_", "b_")
+        fwd[ours] = np.asarray(sd[f"rnn.{g}"], np.float32)
+        bwd[ours + "_reverse"] = np.asarray(sd[f"rnn.{g}_reverse"], np.float32)
+    params["rnn_fwd"] = fwd
+    params["rnn_bwd"] = bwd
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Image encoder (reference CNN_ENCODER state dict on torchvision inception)
+# ---------------------------------------------------------------------------
+
+def convert_image_encoder(sd: Dict[str, np.ndarray], template_vars) -> Any:
+    """CNN_ENCODER .pth -> our ImageEncoder variables."""
+
+    def rename(tk: str, names) -> str:
+        # flax nests the trunk under 'inception/'; torch keys are flat.
+        return tk.removeprefix("inception.")
+
+    out = {}
+    out["params"] = convert_by_template(
+        template_vars["params"], sd, "params", rename=rename)
+    out["batch_stats"] = convert_by_template(
+        template_vars["batch_stats"], sd, "batch_stats", rename=rename)
+    return out
+
+
+def load_damsm_encoders(text_pth: str, models, init_frozen):
+    """Load both frozen encoders from AttnGAN .pth files.
+
+    The image encoder path is derived by the reference's substitution rule
+    text_encoder -> image_encoder (reference `train.py:242`).
+    """
+    import os
+
+    from eegan_tpu.training.state import FrozenEncoders
+
+    text_sd = load_state_dict(text_pth)
+    text_vars = convert_text_encoder(text_sd, init_frozen.text_vars)
+
+    img_pth = text_pth.replace("text_encoder", "image_encoder")
+    if os.path.isfile(img_pth):
+        img_sd = load_state_dict(img_pth)
+        image_vars = convert_image_encoder(img_sd, init_frozen.image_vars)
+    else:
+        print(f"WARNING: {img_pth} not found — image encoder stays random")
+        image_vars = init_frozen.image_vars
+    return FrozenEncoders(text_vars=text_vars, image_vars=image_vars)
+
+
+# ---------------------------------------------------------------------------
+# Generator / ATTR_Enhance / discriminators (reference models.py layouts)
+# ---------------------------------------------------------------------------
+
+def _gen_rename(tk: str, names) -> str:
+    """Map our generator param tree names to reference `Gen` keys.
+
+    Structural differences (reference `models.py:183-256`):
+      block{i}           -> blocks.{i}
+      affine{k}.fc_gamma_linear1 -> affine{k}.fc_gamma.linear1 (same beta)
+      affine{k}.norm2d   -> unchanged
+      MaskHead conv1/bn/conv2    -> Sequential indices 0/1/3
+      ToImage bn/conv            -> Sequential indices 0/2
+      CumBlock up_conv1/up_conv3 -> up_block.0 / up_block.2; fuse -> fuse_block
+    """
+    tk = tk.replace("fc_gamma_linear1", "fc_gamma.linear1")
+    tk = tk.replace("fc_gamma_linear2", "fc_gamma.linear2")
+    tk = tk.replace("fc_beta_linear1", "fc_beta.linear1")
+    tk = tk.replace("fc_beta_linear2", "fc_beta.linear2")
+    for i in range(7):
+        tk = tk.replace(f"block{i}.", f"blocks.{i}.")
+    for mask_head in ("conv_mask", "init_mask"):
+        tk = tk.replace(f"{mask_head}.conv1.", f"{mask_head}.0.")
+        tk = tk.replace(f"{mask_head}.bn.", f"{mask_head}.1.")
+        tk = tk.replace(f"{mask_head}.conv2.", f"{mask_head}.3.")
+    for img_head in ("get_image_64", "get_image_128", "get_image_256"):
+        tk = tk.replace(f"{img_head}.bn.", f"{img_head}.0.")
+        tk = tk.replace(f"{img_head}.conv.", f"{img_head}.2.")
+    for cum in ("cum_64", "cum_128", "cum_256"):
+        tk = tk.replace(f"{cum}.up_conv1.", f"{cum}.up_block.0.")
+        tk = tk.replace(f"{cum}.up_conv3.", f"{cum}.up_block.2.")
+        tk = tk.replace(f"{cum}.fuse.", f"{cum}.fuse_block.")
+    return tk
+
+
+def convert_generator(sd: Dict[str, np.ndarray], template_vars) -> Any:
+    return {
+        "params": convert_by_template(template_vars["params"], sd, "params",
+                                      rename=_gen_rename),
+        "batch_stats": convert_by_template(template_vars["batch_stats"], sd,
+                                           "batch_stats", rename=_gen_rename),
+    }
+
+
+def convert_attr_enhance(sd: Dict[str, np.ndarray], template_vars) -> Any:
+    return {"params": convert_by_template(template_vars["params"], sd,
+                                          "params")}
+
+
+def _disc_rename(tk: str, names) -> str:
+    """Map discriminator tree names to reference `Dis*` keys
+    (reference `models.py:262-403`): ResDown conv_r1/conv_r2 are Sequential
+    conv_r.0 / conv_r.2; DiscSent joint_conv1/2 -> joint_conv.0/.2."""
+    tk = tk.replace("conv_r1.", "conv_r.0.")
+    tk = tk.replace("conv_r2.", "conv_r.2.")
+    tk = tk.replace("joint_conv1.", "joint_conv.0.")
+    tk = tk.replace("joint_conv2.", "joint_conv.2.")
+    tk = tk.replace("joinConv.", "joinConv.0.")
+    return tk
+
+
+def convert_discriminator(sd: Dict[str, np.ndarray], template_vars) -> Any:
+    return {"params": convert_by_template(template_vars["params"], sd,
+                                          "params", rename=_disc_rename)}

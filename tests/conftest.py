@@ -7,7 +7,7 @@ devices so sharding/collective code paths are exercised without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# XLA:CPU may use reduced-precision (bf16) matmuls by default on AMX hosts;
+# force true fp32 so numerical-oracle tests are meaningful.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import pytest  # noqa: E402
 
 

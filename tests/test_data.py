@@ -1,0 +1,176 @@
+"""Data layer: pickle-format compatibility, fixed shapes, determinism."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from eegan_tpu.config import Config
+from eegan_tpu.data.datasets import TextImageDataset, TextOnlyDataset
+from eegan_tpu.data.pipeline import DataPipeline
+from eegan_tpu.data.prep import (
+    build_bbox_pickle,
+    build_captions_pickle,
+    build_dictionary,
+    tokenize_caption,
+)
+
+N_FILES = 6
+CAPS_PER_IMAGE = 2
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Miniature CUB-shaped corpus with every artefact the loaders read."""
+    root = tmp_path_factory.mktemp("birds")
+    rng = np.random.RandomState(0)
+
+    filenames, bboxes = [], {}
+    os.makedirs(root / "images" / "001.cls", exist_ok=True)
+    os.makedirs(root / "text" / "001.cls", exist_ok=True)
+    for i in range(N_FILES):
+        key = f"001.cls/img_{i}"
+        filenames.append(key)
+        arr = rng.randint(0, 255, (300, 400, 3), np.uint8)
+        Image.fromarray(arr).save(root / "images" / f"{key}.jpg")
+        with open(root / "text" / f"{key}.txt", "w") as f:
+            f.write(f"this bird has a bright red head number {i}\n"
+                    f"a small bird with white belly and black wings\n")
+        bboxes[key] = [50, 40, 200, 180]
+
+    for split, names in [("train", filenames[:4]), ("test", filenames[4:])]:
+        os.makedirs(root / split, exist_ok=True)
+        with open(root / split / "filenames.pickle", "wb") as f:
+            pickle.dump(names, f, protocol=2)
+        with open(root / split / "class_info.pickle", "wb") as f:
+            pickle.dump([1 + (i % 2) for i in range(len(names))], f, protocol=2)
+
+    with open(root / "bounding_boxes.pickle", "wb") as f:
+        pickle.dump(bboxes, f, protocol=2)
+
+    build_captions_pickle(str(root), CAPS_PER_IMAGE)
+
+    # attributes pickle: per sentence, a couple of id-list attrs
+    with open(root / "captions.pickle", "rb") as f:
+        train_ids, test_ids, ixtoword, wordtoix = pickle.load(f)
+    mk = lambda caps: [[c[:3], c[3:5]] if len(c) >= 5 else [c] for c in caps]
+    os.makedirs(root / "attributes", exist_ok=True)
+    with open(root / "attributes" / "EE-GAN.pickle", "wb") as f:
+        pickle.dump([mk(train_ids), mk(test_ids)], f, protocol=2)
+
+    return str(root)
+
+
+def make_config(corpus):
+    c = Config()
+    c.DATA_DIR = corpus
+    c.DATASET_NAME = "bird"
+    c.TEXT.CAPTIONS_PER_IMAGE = CAPS_PER_IMAGE
+    return c
+
+
+def test_tokenize():
+    assert tokenize_caption("This bird's head, is RED!") == \
+        ["this", "bird", "s", "head", "is", "red"]
+
+
+def test_build_dictionary_ids_roundtrip():
+    train = [["red", "bird"], ["blue", "bird"]]
+    test = [["red", "wing"]]
+    tr, te, ixtoword, wordtoix = build_dictionary(train, test)
+    assert ixtoword[0] == "<end>"
+    assert [ixtoword[i] for i in tr[0]] == ["red", "bird"]
+    assert [ixtoword[i] for i in te[0]] == ["red", "wing"]
+
+
+def test_dataset_sample_shapes_and_determinism(corpus):
+    c = make_config(corpus)
+    ds = TextImageDataset(c, split="train")
+    assert len(ds) == 4
+    assert ds.n_words > 5
+
+    rng = np.random.default_rng([1, 2, 3])
+    s = ds.sample(0, rng)
+    assert s["img64"].shape == (64, 64, 3)
+    assert s["img128"].shape == (128, 128, 3)
+    assert s["img256"].shape == (256, 256, 3)
+    assert s["img256"].min() >= -1.0 and s["img256"].max() <= 1.0
+    assert s["caps"].shape == (20,)
+    assert s["attrs"].shape == (3, 5)
+    assert s["attr_lens"].shape == (3,)
+    assert 1 <= s["cap_lens"] <= 20
+    # unpaired caption comes from a different class
+    assert s["unpair_caps"].shape == (20,)
+
+    # identical generator state -> identical sample (reproducibility)
+    rng2 = np.random.default_rng([1, 2, 3])
+    s2 = ds.sample(0, rng2)
+    for k in s:
+        np.testing.assert_array_equal(np.asarray(s[k]), np.asarray(s2[k]))
+
+
+def test_unpair_class_differs(corpus):
+    c = make_config(corpus)
+    ds = TextImageDataset(c, split="train")
+    rng = np.random.default_rng([7])
+    for idx in range(len(ds)):
+        cls = ds.class_id[idx]
+        _, _, u_cls = ds.unpair_caption(cls, rng)
+        assert u_cls != cls
+
+
+def test_pipeline_batching(corpus):
+    c = make_config(corpus)
+    ds = TextImageDataset(c, split="train")
+    pipe = DataPipeline(ds, batch_size=2, seed=0, num_workers=0)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["img256"].shape == (2, 256, 256, 3)
+    assert b["caps"].shape == (2, 20)
+    assert b["caps"].dtype == np.int32
+
+    # same epoch -> identical stream; different epoch -> different
+    b_again = next(iter(pipe.epoch(0)))
+    np.testing.assert_array_equal(b["img256"], b_again["img256"])
+    b_other = next(iter(pipe.epoch(1)))
+    assert not np.array_equal(b["caps"], b_other["caps"]) or \
+        not np.array_equal(b["img256"], b_other["img256"])
+
+
+def test_text_only_dataset(corpus):
+    c = make_config(corpus)
+    ds = TextOnlyDataset(c, split="test")
+    assert len(ds) == 2
+    rng = np.random.default_rng([5])
+    s = ds.sample(0, rng)
+    assert s["caps"].shape == (20,)
+    assert isinstance(s["keys"], str)
+
+    wc, wl = ds.wrong_captions(int(ds.class_id[0]), rng, r_val=10)
+    assert wc.shape == (9, 20) and wl.shape == (9,)
+
+
+def test_long_caption_subsample():
+    from eegan_tpu.data.datasets import pad_caption
+
+    rng = np.random.default_rng([0])
+    ids = list(range(1, 31))  # 30 words
+    out, n = pad_caption(ids, 20, rng)
+    assert n == 20
+    # sorted subset of the original (reference keeps order, datasets.py:355-359)
+    assert all(np.diff(out) > 0)
+    assert set(out).issubset(set(ids))
+
+
+def test_attribute_padding_overflow():
+    from eegan_tpu.data.datasets import pad_attributes
+
+    rng = np.random.default_rng([0])
+    attrs = [[1, 2, 3, 4, 5, 6, 7], [8, 9], [], [10]]
+    out, n, lens = pad_attributes(attrs, 3, 5, rng)
+    assert out.shape == (3, 5)
+    assert n == 3
+    assert lens.min() >= 1  # empty slots keep len 1 (datasets.py:318)
