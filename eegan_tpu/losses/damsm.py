@@ -128,6 +128,56 @@ def words_loss(region_features: jnp.ndarray, words_emb: jnp.ndarray,
     return cross_entropy_int(sims, labels), cross_entropy_int(sims.T, labels)
 
 
+def words_similarity(region_features: jnp.ndarray, words_emb: jnp.ndarray,
+                     cap_lens: jnp.ndarray, class_ids: Optional[jnp.ndarray],
+                     gamma1: float = 5.0, gamma2: float = 5.0,
+                     gamma3: float = 10.0, eps: float = 1e-8) -> jnp.ndarray:
+    """Score-only words similarity grid (reference `words_similarity`,
+    DAMSM_losses.py:168-231): same computation as `words_loss` but returning
+    the masked (B_img, B_txt) similarity matrix instead of CE losses."""
+    if region_features.ndim == 4:
+        b, h, w, d = region_features.shape
+        regions = region_features.reshape(b, h * w, d)
+    else:
+        regions = region_features
+    L = words_emb.shape[1]
+    word_mask = (jnp.arange(L)[None, :] < cap_lens[:, None]).astype(words_emb.dtype)
+    wei = attend_words_to_regions(words_emb, regions, word_mask, gamma1)
+    dots = jnp.einsum("tld,itld->itl", words_emb, wei)
+    wn = jnp.linalg.norm(words_emb, axis=-1)
+    cn = jnp.linalg.norm(wei, axis=-1)
+    row_sim = dots / jnp.maximum(wn[None] * cn, eps)
+    row_sim = jnp.exp(row_sim * gamma2) * word_mask[None]
+    sims = jnp.log(jnp.maximum(row_sim.sum(axis=-1), eps)) * gamma3
+    if class_ids is not None:
+        sims = jnp.where(same_class_mask(class_ids), NEG_INF, sims)
+    return sims
+
+
+def global_attention(query_feat: jnp.ndarray, context_key: jnp.ndarray,
+                     content_value: jnp.ndarray,
+                     mask: Optional[jnp.ndarray] = None):
+    """Image-side word attention (reference `GlobalAttentionGeneral`,
+    DAMSM_losses.py:65-132 — defined but unused in the reference main path;
+    provided for API completeness).
+
+    query_feat:   (B, H, W, D) image features (queries)
+    context_key:  (B, S, D) word keys
+    content_value:(B, S, D) word values
+    mask:         (B, S) True where the word must be ignored
+    Returns (weighted (B, H, W, D), attn (B, H, W, S)).
+    """
+    b, h, w, d = query_feat.shape
+    q = query_feat.reshape(b, h * w, d)
+    logits = jnp.einsum("bqd,bsd->bqs", q, context_key)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, :], NEG_INF, logits)
+    attn = jax.nn.softmax(logits, axis=-1)
+    weighted = jnp.einsum("bqs,bsd->bqd", attn, content_value)
+    return (weighted.reshape(b, h, w, d),
+            attn.reshape(b, h, w, -1))
+
+
 def sent_similarity(cnn_code: jnp.ndarray, rnn_code: jnp.ndarray,
                     gamma3: float = 10.0, eps: float = 1e-8) -> jnp.ndarray:
     """Score-only variant (reference `sent_similarity`, DAMSM_losses.py:134-166).

@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize pre-imports jax with JAX_PLATFORMS=axon
+# (the real TPU) before conftest runs, so the env var alone is too late —
+# force the platform through the config API (backends are created lazily,
+# so XLA_FLAGS above still takes effect).
+jax.config.update("jax_platforms", "cpu")
+
 # XLA:CPU may use reduced-precision (bf16) matmuls by default on AMX hosts;
 # force true fp32 so numerical-oracle tests are meaningful.
 jax.config.update("jax_default_matmul_precision", "highest")

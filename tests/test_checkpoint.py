@@ -1,0 +1,71 @@
+"""Orbax checkpoint roundtrip: full train-state resume + generator snapshots."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eegan_tpu.config import Config
+from eegan_tpu.models.factory import build_models
+from eegan_tpu.training.checkpoint import CheckpointManager
+from eegan_tpu.training.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    c = Config()
+    c.GAN.GF_DIM = 4
+    c.GAN.DF_DIM = 4
+    c.TRAIN.CLASS_NUM = 5
+    c.RUNTIME.COMPUTE_DTYPE = "float32"
+    models = build_models(c, n_words=30)
+    state, frozen = create_train_state(c, models, jax.random.PRNGKey(0))
+    return c, state, frozen
+
+
+def _tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_full_state_roundtrip(tiny_state, tmp_path):
+    _, state, _ = tiny_state
+    mgr = CheckpointManager(str(tmp_path / "Model"))
+    state = state.replace(step=jnp.int32(42))
+    mgr.save_state(7, state)
+    assert mgr.latest_epoch() == 7
+
+    restored, epoch = mgr.restore_state(state)
+    assert epoch == 7
+    assert int(restored.step) == 42
+    _tree_equal(state.g_params, restored.g_params)
+    _tree_equal(state.g_opt, restored.g_opt)
+    _tree_equal(state.d_params, restored.d_params)
+    mgr.close()
+
+
+def test_generator_snapshot_roundtrip(tiny_state, tmp_path):
+    _, state, _ = tiny_state
+    mgr = CheckpointManager(str(tmp_path / "Model"))
+    mgr.save_generator(550, state)
+    mgr.save_generator(560, state)
+    assert mgr.available_generator_epochs() == [550, 560]
+
+    restored = mgr.load_generator(550, None)
+    _tree_equal(state.g_params, restored["g_params"])
+    _tree_equal(state.attr_params, restored["attr_params"])
+    _tree_equal(state.g_stats, restored["g_stats"])
+    mgr.close()
+
+
+def test_frozen_roundtrip(tiny_state, tmp_path):
+    _, _, frozen = tiny_state
+    mgr = CheckpointManager(str(tmp_path / "Model"))
+    mgr.save_frozen(frozen)
+    restored = mgr.load_frozen(frozen)
+    _tree_equal(frozen.text_vars, restored.text_vars)
+    _tree_equal(frozen.image_vars, restored.image_vars)
+    mgr.close()

@@ -1,0 +1,175 @@
+"""Numerical parity against the reference PyTorch models.
+
+The strongest checkpoint-compatibility evidence we can produce without the
+real CUB corpus: instantiate the *reference* torch modules (imported from
+/root/reference, used purely as a black-box oracle), convert their randomly
+initialised state dicts through `eegan_tpu.utils.torch_convert`, and demand
+elementwise-equal outputs from our NHWC/Flax rebuilds. This is what FID
+parity with reference checkpoints rests on (SURVEY.md §7 'hard parts').
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference tree not mounted")
+
+
+class _EasyDict(dict):
+    """Minimal easydict stand-in so the reference's config module imports."""
+
+    def __init__(self, d=None, **kw):
+        super().__init__()
+        for k, v in {**(d or {}), **kw}.items():
+            self[k] = v
+
+    def __setitem__(self, k, v):
+        if isinstance(v, dict) and not isinstance(v, _EasyDict):
+            v = _EasyDict(v)
+        super().__setitem__(k, v)
+        super().__setattr__(k, v)
+
+    __setattr__ = __setitem__
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    torch = pytest.importorskip("torch")
+    shim = types.ModuleType("easydict")
+    shim.EasyDict = _EasyDict
+    sys.modules.setdefault("easydict", shim)
+    sys.path.insert(0, REFERENCE)
+    import models as ref  # noqa: the reference models module (oracle only)
+
+    sys.path.remove(REFERENCE)
+    return torch, ref
+
+
+def _sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def test_generator_parity(ref_models):
+    torch, ref = ref_models
+    torch.manual_seed(0)
+    NGF = 8
+    gen_t = ref.Gen(NGF, 100).eval()
+    # non-trivial residual gates + running stats so the test has teeth
+    with torch.no_grad():
+        for name, p in gen_t.named_parameters():
+            if name.endswith("gamma"):
+                p.fill_(0.5)
+        for m in gen_t.modules():
+            if hasattr(m, "running_mean") and m.running_mean is not None:
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    z = torch.randn(2, 100)
+    sent = torch.randn(2, 256)
+    attrs = torch.randn(2, 256)
+    with torch.no_grad():
+        imgs_t = gen_t(z, sent, attrs)
+
+    from eegan_tpu.models.generator import Generator
+    from eegan_tpu.utils.torch_convert import convert_generator
+
+    gen_j = Generator(ngf=NGF, nz=100)
+    template = gen_j.init(jax.random.PRNGKey(0), jnp.asarray(z.numpy()),
+                          jnp.asarray(sent.numpy()), jnp.asarray(attrs.numpy()),
+                          train=False)
+    variables = convert_generator(_sd(gen_t), template)
+    imgs_j = gen_j.apply(variables, jnp.asarray(z.numpy()),
+                         jnp.asarray(sent.numpy()),
+                         jnp.asarray(attrs.numpy()), train=False)
+
+    for t_img, j_img in zip(imgs_t, imgs_j):
+        np.testing.assert_allclose(
+            np.asarray(j_img), t_img.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("scale", [64, 256])
+def test_discriminator_parity(ref_models, scale):
+    torch, ref = ref_models
+    torch.manual_seed(1)
+    NDF = 8
+    if scale == 64:
+        d_t = ref.Dis64(NDF).eval()
+    else:
+        d_t = ref.Dis256(NDF, True, 17).eval()
+    with torch.no_grad():
+        for name, p in d_t.named_parameters():
+            if name.endswith("gamma"):
+                p.fill_(0.3)
+
+    x = torch.randn(2, 3, scale, scale)
+    sent = torch.randn(2, 256)
+    with torch.no_grad():
+        feat_t = d_t(x)
+        out_t = d_t.COND_DNET(feat_t, sent)
+
+    from eegan_tpu.models.discriminator import Discriminator
+    from eegan_tpu.utils.torch_convert import convert_discriminator
+
+    d_j = Discriminator(ndf=NDF, scale=scale, disc_class=(scale == 256),
+                        class_nums=17)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    sj = jnp.asarray(sent.numpy())
+    template = d_j.init(jax.random.PRNGKey(0), xj, sj)
+    variables = convert_discriminator(_sd(d_t), template)
+
+    feat_j = d_j.apply(variables, xj, method="features")
+    np.testing.assert_allclose(np.asarray(feat_j),
+                               feat_t.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+    out_j = d_j.apply(variables, feat_j, sj, method="head")
+    if scale == 256:
+        np.testing.assert_allclose(np.asarray(out_j[0]),
+                                   out_t[0].numpy().reshape(-1),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(out_j[1]), out_t[1].numpy(),
+                                   atol=2e-4, rtol=1e-3)
+    else:
+        np.testing.assert_allclose(np.asarray(out_j),
+                                   out_t.numpy().reshape(-1),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_attr_enhance_parity(ref_models):
+    torch, ref = ref_models
+    torch.manual_seed(2)
+    m_t = ref.ATTR_Enhance(256).eval()
+    sent = torch.randn(3, 256)
+    attrs = torch.randn(3, 3, 256)
+    with torch.no_grad():
+        s_t, a_t = m_t(sent, attrs)
+        merged_t = ref.ATTR_Enhance.attr_merge(a_t)
+
+    from eegan_tpu.models.attr_enhance import AttrEnhance
+    from eegan_tpu.utils.torch_convert import convert_attr_enhance
+
+    m_j = AttrEnhance(ntf=256)
+    template = m_j.init(jax.random.PRNGKey(0), jnp.asarray(sent.numpy()),
+                        jnp.asarray(attrs.numpy()))
+    variables = convert_attr_enhance(_sd(m_t), template)
+    s_j, a_j = m_j.apply(variables, jnp.asarray(sent.numpy()),
+                         jnp.asarray(attrs.numpy()))
+    np.testing.assert_allclose(np.asarray(s_j), s_t.numpy(), atol=1e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(AttrEnhance.attr_merge(a_j)),
+                               merged_t.numpy(), atol=1e-5, rtol=1e-4)
