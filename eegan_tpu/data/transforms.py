@@ -60,12 +60,14 @@ def to_normalized_array(img: Image.Image) -> np.ndarray:
 def load_image_pyramid(path: str, imsizes: Sequence[int],
                        bbox: Optional[Sequence[int]],
                        rng: Optional[np.random.Generator],
-                       augment: bool = True) -> List[np.ndarray]:
+                       augment: bool = True,
+                       use_native: bool = True) -> List[np.ndarray]:
     """Full per-sample image path -> [img64, img128, img256] float32 NHWC.
 
     Mirrors `TextDataset.get_imgs` (reference `datasets.py:391-424`): the
     largest branch gets the augmented crop directly; smaller branches are
-    bilinear-resized from it.
+    bilinear-resized from it. The per-branch resize + normalise runs through
+    the native C++ ops (`native/image_ops.cpp`) when built, PIL otherwise.
     """
     img = Image.open(path).convert("RGB")
     if bbox is not None:
@@ -83,6 +85,18 @@ def load_image_pyramid(path: str, imsizes: Sequence[int],
         w, h = img.size  # center crop
         x, y = (w - base) // 2, (h - base) // 2
         img = img.crop((x, y, x + base, y + base))
+
+    if use_native:
+        from eegan_tpu.data import native
+
+        if native.available():
+            arr = np.asarray(img, dtype=np.uint8)
+            out = []
+            for s in imsizes:
+                branch = (arr.astype(np.float32) if s == base
+                          else native.resize_bilinear(arr, (s, s)))
+                out.append(branch / 127.5 - 1.0)
+            return out
 
     out = []
     for s in imsizes:

@@ -119,6 +119,39 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
                  - 2 * np.trace(covmean))
 
 
+def dataset_statistics(config, extractor: "FIDExtractor", split: str = "test",
+                       n_images: int = 30000, seed: int = 0
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Activation statistics over randomly augmented dataset crops.
+
+    Rebuilds `MeasureFID.gen_dataset_imgs` + `gen_npz_file` (reference
+    `metrics/FID/fid_score.py:233-292`): sample n_images random-cropped
+    dataset images (bbox crop for CUB) and compute pool3 mu/sigma — without
+    the intermediate on-disk image dump.
+    """
+    from eegan_tpu.data.datasets import TextImageDataset
+
+    ds = TextImageDataset(config, split=split)
+    rng = np.random.default_rng([seed])
+    feats = []
+    batch, bs = [], extractor.batch_size
+    for i in range(n_images):
+        idx = int(rng.integers(0, len(ds)))
+        key = ds.filenames[idx]
+        bbox = ds.bbox[key] if ds.bbox is not None else None
+        from eegan_tpu.data.transforms import load_image_pyramid
+
+        pyramid = load_image_pyramid(ds.image_path(key), ds.imsizes, bbox,
+                                     rng, augment=True)
+        batch.append(pyramid[-1])
+        if len(batch) == bs:
+            feats.append(extractor.features(np.stack(batch)))
+            batch = []
+    if batch:
+        feats.append(extractor.features(np.stack(batch)))
+    return activation_statistics(np.concatenate(feats, axis=0))
+
+
 class MeasureFID:
     """Folder-sweep harness (reference `MeasureFID.calculate_fid`, :66-95)."""
 

@@ -161,21 +161,36 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self, max_epochs: Optional[int] = None,
-              max_iters_per_epoch: Optional[int] = None) -> None:
+              max_iters_per_epoch: Optional[int] = None,
+              profile_steps: int = 0) -> None:
+        """Epoch loop. With ``profile_steps`` > 0, capture a jax.profiler
+        trace of that many post-warmup steps into <output_dir>/profile
+        (the observability the reference never had — SURVEY.md §5)."""
         end_epoch = self.max_epoch if max_epochs is None \
             else min(self.max_epoch, self.start_epoch + max_epochs)
         base_rng = jax.random.PRNGKey(self.seed)
+        profile_at = 2 if profile_steps > 0 else -1
+        steps_done = 0
 
         for epoch in range(self.start_epoch, end_epoch):
             it = device_prefetch(self.pipeline.epoch(epoch), self.mesh)
             for i, batch in enumerate(it):
                 if max_iters_per_epoch is not None and i >= max_iters_per_epoch:
                     break
+                if steps_done == profile_at:
+                    jax.profiler.start_trace(
+                        os.path.join(self.output_dir, "profile"))
                 step_rng = jax.random.fold_in(
                     base_rng, int(self.state.step))
                 self.state, metrics = self.train_step(
                     self.state, self.frozen, batch, step_rng)
                 self.timer.tick()
+                steps_done += 1
+                if profile_at >= 0 and steps_done == profile_at + profile_steps:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
+                    profile_at = -1
 
                 if i % UPDATE_INTERVAL == 0:
                     self.iters_cnt += 1

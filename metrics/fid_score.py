@@ -36,6 +36,12 @@ def parse_args():
                              "weights — relative comparisons only)")
     parser.add_argument("--gen_npz", type=str, default="",
                         help="write dataset stats npz from --eval_image_folder")
+    parser.add_argument("--dataset_npz", type=str, default="",
+                        help="write stats npz from the dataset itself "
+                             "(random crops; needs --cfg)")
+    parser.add_argument("--cfg", type=str, default="",
+                        help="config for --dataset_npz")
+    parser.add_argument("--split", type=str, default="test")
     return parser.parse_args()
 
 
@@ -74,6 +80,17 @@ def main():
 
     extractor = FIDExtractor(variables=variables, batch_size=args.batch_size)
     measure = MeasureFID(extractor)
+
+    if args.dataset_npz:
+        from eegan_tpu.config import fresh_config
+        from eegan_tpu.evaluation.fid import dataset_statistics
+
+        config = fresh_config(args.cfg)
+        mu, sigma = dataset_statistics(config, extractor, split=args.split,
+                                       n_images=args.max_images)
+        save_npz_stats(args.dataset_npz, mu, sigma)
+        print(f"saved dataset stats -> {args.dataset_npz}")
+        return
 
     if args.gen_npz:
         feats = extractor.features_from_folder(args.eval_image_folder,

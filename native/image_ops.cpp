@@ -1,0 +1,143 @@
+// Native host-side image ops for the data pipeline.
+//
+// The reference leans on torch's native DataLoader + torchvision transforms
+// for its host pipeline (reference `train.py:269-278`); this is the
+// equivalent native tier here: OpenMP-threaded uint8 HWC bilinear resize
+// (triangle filter with support scaling on downscale, matching Pillow's
+// BILINEAR behaviour), horizontal flip, crop, and fused
+// resize+normalise-to-[-1,1] float32 conversion. Exposed with a plain C ABI
+// for ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -fopenmp -shared -fPIC image_ops.cpp -o libimage_ops.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Tap {
+  int lo;        // first source index
+  int n;         // number of taps
+  int coeff_off; // offset into the coefficient table
+};
+
+// Precompute triangle-filter taps for one axis (Pillow-style: filter
+// support scales with the downscale factor; plain bilinear on upscale).
+static void build_taps(int src, int dst, std::vector<Tap>& taps,
+                       std::vector<float>& coeffs) {
+  taps.resize(dst);
+  coeffs.clear();
+  const double scale = static_cast<double>(src) / dst;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;
+
+  for (int i = 0; i < dst; ++i) {
+    const double center = (i + 0.5) * scale;
+    int lo = static_cast<int>(std::floor(center - support));
+    int hi = static_cast<int>(std::ceil(center + support));
+    lo = std::max(lo, 0);
+    hi = std::min(hi, src);
+    const int off = static_cast<int>(coeffs.size());
+    double total = 0.0;
+    for (int j = lo; j < hi; ++j) {
+      const double x = (j + 0.5 - center) / filterscale;
+      const double w = (std::fabs(x) < 1.0) ? 1.0 - std::fabs(x) : 0.0;
+      coeffs.push_back(static_cast<float>(w));
+      total += w;
+    }
+    if (total > 0.0) {
+      for (int j = off; j < static_cast<int>(coeffs.size()); ++j)
+        coeffs[j] = static_cast<float>(coeffs[j] / total);
+    } else if (hi > lo) {
+      coeffs[off] = 1.0f;  // degenerate: nearest
+    }
+    taps[i] = {lo, hi - lo, off};
+  }
+}
+
+static void resize_one(const uint8_t* src, int sh, int sw, int c,
+                       float* dst, int dh, int dw) {
+  std::vector<Tap> xt, yt;
+  std::vector<float> xc, yc;
+  build_taps(sw, dw, xt, xc);
+  build_taps(sh, dh, yt, yc);
+
+  // horizontal pass into a temp (sh x dw x c)
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw * c);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * sw * c;
+    float* trow = tmp.data() + static_cast<size_t>(y) * dw * c;
+    for (int x = 0; x < dw; ++x) {
+      const Tap& t = xt[x];
+      for (int ch = 0; ch < c; ++ch) {
+        float acc = 0.f;
+        for (int k = 0; k < t.n; ++k)
+          acc += xc[t.coeff_off + k] * row[(t.lo + k) * c + ch];
+        trow[x * c + ch] = acc;
+      }
+    }
+  }
+  // vertical pass
+  for (int y = 0; y < dh; ++y) {
+    const Tap& t = yt[y];
+    float* drow = dst + static_cast<size_t>(y) * dw * c;
+    for (int x = 0; x < dw; ++x) {
+      for (int ch = 0; ch < c; ++ch) {
+        float acc = 0.f;
+        for (int k = 0; k < t.n; ++k)
+          acc += yc[t.coeff_off + k] *
+                 tmp[static_cast<size_t>(t.lo + k) * dw * c + x * c + ch];
+        drow[x * c + ch] = acc;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// uint8 HWC -> float32 HWC resize (values stay in [0, 255]).
+void resize_bilinear_u8_f32(const uint8_t* src, int sh, int sw, int c,
+                            float* dst, int dh, int dw) {
+  resize_one(src, sh, sw, c, dst, dh, dw);
+}
+
+// Batch: crop + optional hflip + K-scale pyramid, normalised to [-1, 1].
+// src: B images, each (sh, sw, c) uint8, contiguous.
+// crops: B x 4 ints (y, x, h, w). flips: B ints (0/1).
+// For each k, out[k] is B x (sizes[k], sizes[k], c) float32.
+void batch_pyramid(const uint8_t* src, int B, int sh, int sw, int c,
+                   const int* crops, const int* flips,
+                   const int* sizes, int K, float** outs) {
+#pragma omp parallel for schedule(dynamic)
+  for (int b = 0; b < B; ++b) {
+    const uint8_t* img = src + static_cast<size_t>(b) * sh * sw * c;
+    // crop + flip into a scratch buffer
+    const int cy = crops[b * 4 + 0], cx = crops[b * 4 + 1];
+    const int ch_ = crops[b * 4 + 2], cw = crops[b * 4 + 3];
+    std::vector<uint8_t> crop(static_cast<size_t>(ch_) * cw * c);
+    for (int y = 0; y < ch_; ++y) {
+      const uint8_t* srow = img + (static_cast<size_t>(cy + y) * sw + cx) * c;
+      uint8_t* drow = crop.data() + static_cast<size_t>(y) * cw * c;
+      if (flips[b]) {
+        for (int x = 0; x < cw; ++x)
+          std::memcpy(drow + x * c, srow + (cw - 1 - x) * c, c);
+      } else {
+        std::memcpy(drow, srow, static_cast<size_t>(cw) * c);
+      }
+    }
+    for (int k = 0; k < K; ++k) {
+      const int s = sizes[k];
+      float* out = outs[k] + static_cast<size_t>(b) * s * s * c;
+      resize_one(crop.data(), ch_, cw, c, out, s, s);
+      const size_t n = static_cast<size_t>(s) * s * c;
+      for (size_t i = 0; i < n; ++i) out[i] = out[i] * (1.f / 127.5f) - 1.f;
+    }
+  }
+}
+
+}  // extern "C"

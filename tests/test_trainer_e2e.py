@@ -1,0 +1,63 @@
+"""End-to-end Trainer driver: train -> log -> checkpoint -> resume.
+
+Exercises the full driver path on the 8-device CPU mesh with synthetic data:
+epoch loop, prefetch, fused step, fixed-batch sampling images, metric jsonl,
+epoch-gated generator snapshots, full-state checkpoint and true resume (the
+capability the reference lacks — `start_epoch` hardcoded 1, SURVEY.md §5).
+"""
+
+import json
+import os
+
+import pytest
+
+from eegan_tpu.config import Config
+from eegan_tpu.data.synthetic import SyntheticDataset
+from eegan_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def config():
+    c = Config()
+    c.GAN.GF_DIM = 4
+    c.GAN.DF_DIM = 4
+    c.TRAIN.BATCH_SIZE = 8
+    c.TRAIN.CLASS_NUM = 6
+    c.TRAIN.MAX_EPOCH = 10
+    c.TRAIN.WARMUP_EPOCHS = 1
+    c.TRAIN.GSAVE_INTERVAL = 1
+    c.TRAIN.DSAVE_INTERVAL = 1
+    c.RUNTIME.COMPUTE_DTYPE = "float32"
+    c.RUNTIME.MESH = "data:8"
+    c.RUNTIME.DATA_WORKERS = 0
+    return c
+
+
+def test_train_checkpoint_resume(config, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run"))
+    dataset = SyntheticDataset(config, size=16, n_words=40)
+
+    trainer = Trainer(config, out, dataset=dataset, seed=0)
+    trainer.train(max_epochs=1, max_iters_per_epoch=2)
+    step_after = int(trainer.state.step)
+    assert step_after == 2
+    trainer.close()
+
+    # artefacts
+    assert os.path.isfile(os.path.join(out, "Image", "sampling_text.txt"))
+    assert os.path.isfile(os.path.join(out, "Image", "epoch_1_64.png"))
+    assert os.path.isfile(os.path.join(out, "Image", "epoch_1_256.png"))
+    metrics_path = os.path.join(out, "writer", "metrics.jsonl")
+    with open(metrics_path) as f:
+        records = [json.loads(line) for line in f]
+    assert records and "errG/total" in records[0]
+    assert "errD_2/d_loss_gp" in records[0]
+
+    # generator snapshot for the eval sweep
+    assert os.path.isdir(os.path.join(out, "Model", "netG_1"))
+
+    # resume: a fresh Trainer picks up epoch 1's full state
+    trainer2 = Trainer(config, out, dataset=dataset, seed=0)
+    assert trainer2.start_epoch == 2
+    assert int(trainer2.state.step) == step_after
+    trainer2.close()

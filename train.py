@@ -47,6 +47,8 @@ def parse_args():
                         help="stop after N epochs (smoke/CI)")
     parser.add_argument("--max_iters", type=int, default=None,
                         help="cap iterations per epoch (smoke/CI)")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace of N steps")
     return parser.parse_args()
 
 
@@ -98,7 +100,8 @@ def main():
                       seed=args.manualSeed, data_workers=workers)
     try:
         trainer.train(max_epochs=args.max_epochs,
-                      max_iters_per_epoch=args.max_iters)
+                      max_iters_per_epoch=args.max_iters,
+                      profile_steps=args.profile_steps)
     finally:
         trainer.close()
 
