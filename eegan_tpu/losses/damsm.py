@@ -111,10 +111,13 @@ def words_loss(region_features: jnp.ndarray, words_emb: jnp.ndarray,
 
     wei = attend_words_to_regions(words_emb, regions, word_mask, gamma1)
 
-    # Per-(pair, word) cosine similarity.
+    # Per-(pair, word) cosine similarity. Norms are computed via a clamped
+    # sum-of-squares so padded (all-zero) word vectors get a ZERO gradient
+    # instead of the NaN that d||x||/dx produces at x=0 — words are
+    # trainable during DAMSM pretraining (training/damsm_trainer.py).
     dots = jnp.einsum("tld,itld->itl", words_emb, wei)
-    wn = jnp.linalg.norm(words_emb, axis=-1)  # (Bt, L)
-    cn = jnp.linalg.norm(wei, axis=-1)  # (Bi, Bt, L)
+    wn = jnp.sqrt(jnp.maximum(jnp.sum(words_emb ** 2, -1), eps * eps))
+    cn = jnp.sqrt(jnp.maximum(jnp.sum(wei ** 2, -1), eps * eps))
     row_sim = dots / jnp.maximum(wn[None] * cn, eps)
 
     # log-sum-exp word aggregation, only over valid words (Eq. 10).
@@ -144,8 +147,8 @@ def words_similarity(region_features: jnp.ndarray, words_emb: jnp.ndarray,
     word_mask = (jnp.arange(L)[None, :] < cap_lens[:, None]).astype(words_emb.dtype)
     wei = attend_words_to_regions(words_emb, regions, word_mask, gamma1)
     dots = jnp.einsum("tld,itld->itl", words_emb, wei)
-    wn = jnp.linalg.norm(words_emb, axis=-1)
-    cn = jnp.linalg.norm(wei, axis=-1)
+    wn = jnp.sqrt(jnp.maximum(jnp.sum(words_emb ** 2, -1), eps * eps))
+    cn = jnp.sqrt(jnp.maximum(jnp.sum(wei ** 2, -1), eps * eps))
     row_sim = dots / jnp.maximum(wn[None] * cn, eps)
     row_sim = jnp.exp(row_sim * gamma2) * word_mask[None]
     sims = jnp.log(jnp.maximum(row_sim.sum(axis=-1), eps)) * gamma3
