@@ -1,0 +1,47 @@
+"""Evaluation sweep e2e: generation folders + R-precision on a tiny corpus."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from eegan_tpu.config import Config
+from eegan_tpu.data.datasets import TextOnlyDataset
+from eegan_tpu.evaluation.tester import Tester
+from eegan_tpu.models.factory import build_models
+from eegan_tpu.training.state import create_train_state
+
+from corpus_util import CAPS_PER_IMAGE, build_corpus
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = build_corpus(tmp_path_factory.mktemp("birds"))
+    c = Config()
+    c.DATA_DIR = root
+    c.DATASET_NAME = "bird"
+    c.TEXT.CAPTIONS_PER_IMAGE = CAPS_PER_IMAGE
+    c.GAN.GF_DIM = 4
+    c.GAN.DF_DIM = 4
+    c.TRAIN.BATCH_SIZE = 2
+    c.RUNTIME.COMPUTE_DTYPE = "float32"
+
+    dataset = TextOnlyDataset(c, split="test")
+    models = build_models(c, dataset.n_words)
+    state, frozen = create_train_state(c, models, jax.random.PRNGKey(0))
+    return c, models, state, frozen, dataset
+
+
+def test_generate_and_r_precision(setup, tmp_path):
+    c, models, state, frozen, dataset = setup
+    tester = Tester(c, models, frozen, dataset, batch_size=2)
+    out_dir = str(tmp_path / "Epoch_1_0")
+    res = tester.generate(state.g_params, state.attr_params, state.g_stats,
+                          out_dir, sampling_nums=4, seed=3,
+                          compute_r_precision=True, r_val=8, clusters=2)
+    assert res["generated"] == 4.0
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) == 4
+    assert 0.0 <= res["r_precision_mean"] <= 1.0
+    assert res["r_precision_std"] >= 0.0
