@@ -170,9 +170,18 @@ def make_train_step(config: Config, models: ModelBundle,
         class_labels = gan_losses.one_hot_class_labels(class_ids, class_num) \
             if use_class else None
 
-        # Fake pyramid for the D phase (stop-grad; CSE'd with the G phase).
-        fake_imgs, _, _ = gen_forward(state.g_params, state.attr_params,
-                                      state.g_stats, noise, sent, attrs_emb)
+        # ONE generator forward for the whole iteration: jax.vjp gives us the
+        # fake pyramid for the D phase and the pullback for the G phase, so
+        # the forward is never recomputed (the reference also runs G once per
+        # iteration, train.py:195).
+        def gen_fn(gp_ap):
+            gp, ap = gp_ap
+            imgs, merged, new_stats = gen_forward(gp, ap, state.g_stats,
+                                                  noise, sent, attrs_emb)
+            return (tuple(imgs), merged), new_stats
+
+        ((fake_imgs, merged), gen_vjp, new_g_stats) = jax.vjp(
+            gen_fn, (state.g_params, state.attr_params), has_aux=True)
         fake_sg = [jax.lax.stop_gradient(im) for im in fake_imgs]
 
         metrics: Dict[str, jnp.ndarray] = {}
@@ -187,10 +196,7 @@ def make_train_step(config: Config, models: ModelBundle,
             metrics.update(m)
 
         # --- G phase against the updated discriminators ---
-        def g_loss_fn(gp_ap):
-            gp, ap = gp_ap
-            imgs, merged, new_stats = gen_forward(
-                gp, ap, state.g_stats, noise, sent, attrs_emb)
+        def downstream_loss(imgs, merged):
             aux = {}
             total = jnp.float32(0)
             for i in range(n_scales):
@@ -221,10 +227,11 @@ def make_train_step(config: Config, models: ModelBundle,
             total = total + sim_coe * (s_loss + w_loss + a_loss)
             aux.update({"errG/s_loss": s_loss, "errG/w_loss": w_loss,
                         "errG/a_loss": a_loss, "errG/total": total})
-            return total, (new_stats, aux)
+            return total, aux
 
-        (_, (new_g_stats, g_aux)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)((state.g_params, state.attr_params))
+        (_, g_aux), (d_imgs, d_merged) = jax.value_and_grad(
+            downstream_loss, argnums=(0, 1), has_aux=True)(fake_imgs, merged)
+        (g_grads,) = gen_vjp((tuple(d_imgs), d_merged))
         g_updates, new_g_opt = g_tx.update(
             g_grads, state.g_opt, (state.g_params, state.attr_params))
         new_gp, new_ap = optax.apply_updates(

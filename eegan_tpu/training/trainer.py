@@ -66,7 +66,8 @@ def load_frozen_encoders(config: Config, models: ModelBundle,
 
 class Trainer:
     def __init__(self, config: Config, output_dir: str, dataset=None,
-                 seed: int = 3407, data_workers: Optional[int] = None):
+                 seed: int = 3407, data_workers: Optional[int] = None,
+                 async_eval=None):
         self.config = config
         self.output_dir = output_dir
         self.model_dir = os.path.join(output_dir, "Model")
@@ -121,6 +122,11 @@ class Trainer:
         self.iters_cnt = 0
         self.timer = StepTimer(self.batch_size)
 
+        # Optional overlapped evaluation (evaluation/async_eval.py): each
+        # generator snapshot is scored (FID / R-precision) on a background
+        # thread while training keeps stepping.
+        self.async_eval = async_eval
+
         self._sample_batch = self._prepare_sampling()
 
     # ------------------------------------------------------------------
@@ -155,6 +161,12 @@ class Trainer:
         if epoch == 1 or (epoch >= t.WARMUP_EPOCHS and epoch % t.GSAVE_INTERVAL == 0):
             self.ckpt.save_generator(epoch, self.state)
             print("Save Gen model.")
+            if self.async_eval is not None:
+                accepted = self.async_eval.submit(
+                    epoch, self.state.g_params, self.state.attr_params,
+                    self.state.g_stats)
+                if not accepted:
+                    print(f"[async-eval] busy — skipped epoch {epoch}")
         if epoch == 1 or (epoch >= t.WARMUP_EPOCHS and epoch % t.DSAVE_INTERVAL == 0):
             self.ckpt.save_state(epoch, self.state)
             print("Save full train state.")
@@ -204,6 +216,8 @@ class Trainer:
             self.save_model(epoch)
 
     def close(self):
+        if self.async_eval is not None:
+            self.async_eval.close()
         self.pipeline.close()
         self.writer.close()
         self.ckpt.close()

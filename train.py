@@ -49,6 +49,14 @@ def parse_args():
                         help="cap iterations per epoch (smoke/CI)")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace of N steps")
+    parser.add_argument("--eval_overlap", action="store_true",
+                        help="score each generator snapshot (FID/R-precision)"
+                             " on a background thread during training")
+    parser.add_argument("--eval_nums", type=int, default=2048,
+                        help="images per overlapped evaluation")
+    parser.add_argument("--fid_stats", type=str, default="",
+                        help="dataset mu/sigma .npz (or real-image folder)"
+                             " for overlapped FID")
     return parser.parse_args()
 
 
@@ -98,6 +106,21 @@ def main():
     workers = 0 if args.debug else None
     trainer = Trainer(config, output_dir, dataset=dataset,
                       seed=args.manualSeed, data_workers=workers)
+
+    if args.eval_overlap:
+        from eegan_tpu.data.datasets import TextOnlyDataset
+        from eegan_tpu.evaluation.async_eval import AsyncEvaluator
+        from eegan_tpu.evaluation.tester import Tester
+
+        eval_ds = (dataset if args.synthetic
+                   else TextOnlyDataset(config, split="test"))
+        tester = Tester(config, trainer.models, trainer.frozen, eval_ds,
+                        batch_size=config.TRAIN.BATCH_SIZE)
+        trainer.async_eval = AsyncEvaluator(
+            tester, writer=trainer.writer,
+            real_stats=args.fid_stats or None,
+            eval_nums=args.eval_nums,
+            compute_r_precision=not args.synthetic)
     try:
         trainer.train(max_epochs=args.max_epochs,
                       max_iters_per_epoch=args.max_iters,
