@@ -214,3 +214,21 @@ def fresh_config(filename: Optional[str] = None) -> Config:
     if filename is not None:
         cfg_from_file(filename, into=c)
     return c
+
+
+def apply_overrides(config: Config, overrides) -> Config:
+    """Apply ``SECTION.KEY=value`` strings (CLI ``--set``) onto a config.
+
+    Values are parsed as YAML scalars, then merged with the same strict
+    semantics as file loading.
+    """
+    for item in overrides or []:
+        key, _, raw = item.partition("=")
+        if not _:
+            raise ValueError(f"--set expects KEY=VALUE, got {item!r}")
+        value = yaml.safe_load(raw)
+        tree: Dict[str, Any] = value
+        for part in reversed(key.strip().split(".")):
+            tree = {part: tree}
+        config.merge_dict(tree)
+    return config

@@ -25,6 +25,9 @@ def parse_args():
     parser.add_argument("--manualSeed", type=int, default=3407)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--max_iters", type=int, default=None)
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="config override, e.g. --set GAN.GF_DIM=16")
     return parser.parse_args()
 
 
@@ -33,12 +36,13 @@ def main():
 
     import jax
 
-    from eegan_tpu.config import fresh_config
+    from eegan_tpu.config import apply_overrides, fresh_config
     from eegan_tpu.models.factory import build_models
     from eegan_tpu.training.damsm_trainer import pretrain_damsm
     from eegan_tpu.training.state import create_train_state
 
     config = fresh_config(args.cfg_file)
+    apply_overrides(config, args.overrides)
     config.TRAIN.BATCH_SIZE = args.batch_size
 
     if args.synthetic:

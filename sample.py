@@ -49,6 +49,9 @@ def parse_args():
                         choices=["lexicon", "perceptron", "stanford"])
     parser.add_argument("--taggar_file_path", default="", type=str)
     parser.add_argument("--jar_file_path", default="", type=str)
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="config override, e.g. --set GAN.GF_DIM=16")
     return parser.parse_args()
 
 
@@ -89,7 +92,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from eegan_tpu.config import fresh_config
+    from eegan_tpu.config import apply_overrides, fresh_config
     from eegan_tpu.data.attributes import AttributeExtractor
     from eegan_tpu.data.datasets import (
         TextOnlyDataset,
@@ -107,6 +110,7 @@ def main():
     )
 
     config = fresh_config(args.cfg_file)
+    apply_overrides(config, args.overrides)
     t = config.TEXT
     visual_dir = os.path.join(config.SAVE_DIR or ".", args.output_dir)
     mkdir_p(visual_dir)

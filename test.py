@@ -36,6 +36,9 @@ def parse_args():
                         help="compute R-precision")
     parser.add_argument("--manualSeed", type=int, default=3407)
     parser.add_argument("--batch_size", type=int, default=0)
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="config override, e.g. --set GAN.GF_DIM=16")
     return parser.parse_args()
 
 
@@ -56,7 +59,7 @@ def main():
 
     import jax
 
-    from eegan_tpu.config import fresh_config
+    from eegan_tpu.config import apply_overrides, fresh_config
     from eegan_tpu.data.datasets import TextOnlyDataset
     from eegan_tpu.evaluation.tester import Tester
     from eegan_tpu.models.factory import build_models
@@ -66,6 +69,7 @@ def main():
     from eegan_tpu.utils.images import mkdir_p
 
     config = fresh_config(args.cfg_file)
+    apply_overrides(config, args.overrides)
     if args.batch_size:
         config.TRAIN.BATCH_SIZE = args.batch_size
 

@@ -65,3 +65,21 @@ def test_gpu_id_accepted():
     c = Config()
     c.merge_dict({"GPU_ID": 3})
     assert c.GPU_ID == 3
+
+
+def test_apply_overrides():
+    from eegan_tpu.config import apply_overrides
+
+    c = Config()
+    apply_overrides(c, ["GAN.GF_DIM=16", "TRAIN.SMOOTH.GAMMA1=2.5",
+                        "DATASET_NAME=coco", "TRAIN.USE_CLASS=false"])
+    assert c.GAN.GF_DIM == 16
+    assert c.TRAIN.SMOOTH.GAMMA1 == 2.5
+    assert c.DATASET_NAME == "coco"
+    assert c.TRAIN.USE_CLASS is False
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        apply_overrides(c, ["NOPE.NOPE=1"])
+    with _pytest.raises(ValueError):
+        apply_overrides(c, ["GAN.GF_DIM"])

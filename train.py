@@ -57,15 +57,19 @@ def parse_args():
     parser.add_argument("--fid_stats", type=str, default="",
                         help="dataset mu/sigma .npz (or real-image folder)"
                              " for overlapped FID")
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="config override, e.g. --set GAN.GF_DIM=16")
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
 
-    from eegan_tpu.config import fresh_config
+    from eegan_tpu.config import apply_overrides, fresh_config
 
     config = fresh_config(args.cfg_file)
+    apply_overrides(config, args.overrides)
     config.TRAIN.BATCH_SIZE = args.batch_size
     config.TRAIN.CLASS_COE = args.class_coe
     config.TRAIN.SIM_COE = args.sim_coe
