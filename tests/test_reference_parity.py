@@ -173,3 +173,59 @@ def test_attr_enhance_parity(ref_models):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(AttrEnhance.attr_merge(a_j)),
                                merged_t.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_convert_checkpoints_cli(ref_models, tmp_path, monkeypatch):
+    """Full CLI path: reference .pth (DataParallel-prefixed) -> Orbax -> same
+    outputs as the torch oracle."""
+    torch, ref = ref_models
+    torch.manual_seed(3)
+    NGF = 8
+    gen_t = ref.Gen(NGF, 100).eval()
+    attr_t = ref.ATTR_Enhance(256).eval()
+    with torch.no_grad():
+        for _, p in gen_t.named_parameters():
+            if p.ndim == 1 and p.shape[0] == 1:
+                p.fill_(0.25)
+
+    # the reference saves DataParallel-wrapped state dicts (train.py:310)
+    g_pth = str(tmp_path / "netG_42.pth")
+    a_pth = str(tmp_path / "attr_enhance_42.pth")
+    torch.save({f"module.{k}": v for k, v in gen_t.state_dict().items()}, g_pth)
+    torch.save({f"module.{k}": v for k, v in attr_t.state_dict().items()}, a_pth)
+
+    import sys
+
+    import convert_checkpoints as cc
+
+    model_dir = str(tmp_path / "Model")
+    monkeypatch.setattr(sys, "argv", [
+        "convert_checkpoints.py", "--cfg", "cfg/bird.yml", "--n_words", "50",
+        "--netG", g_pth, "--attr_enhance", a_pth, "--epoch", "42",
+        "--out_model_dir", model_dir,
+        "--set", "GAN.GF_DIM=8", "--set", "RUNTIME.COMPUTE_DTYPE=float32",
+    ])
+    cc.main()
+
+    from eegan_tpu.models.generator import Generator
+    from eegan_tpu.training.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(model_dir)
+    assert mgr.available_generator_epochs() == [42]
+    restored = mgr.load_generator(42, None)
+
+    z = torch.randn(2, 100)
+    sent = torch.randn(2, 256)
+    attrs = torch.randn(2, 256)
+    with torch.no_grad():
+        imgs_t = gen_t(z, sent, attrs)
+
+    gen_j = Generator(ngf=NGF, nz=100)
+    imgs_j = gen_j.apply({"params": restored["g_params"],
+                          "batch_stats": restored["g_stats"]},
+                         jnp.asarray(z.numpy()), jnp.asarray(sent.numpy()),
+                         jnp.asarray(attrs.numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(imgs_j[-1]),
+                               imgs_t[-1].numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+    mgr.close()
