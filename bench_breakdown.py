@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Per-phase cost breakdown of the training iteration on the attached chip.
+
+Times, as separately jitted programs: text encoding, the generator forward,
+one hinge D step (per scale), one MAGP step (per scale), and the G update
+(downstream losses incl. the frozen-Inception DAMSM terms). Guides kernel
+work — phases that dominate are the fusion targets.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def timeit(f, *args, iters=10):
+    out = f(*args)
+    import jax
+
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from eegan_tpu.config import Config
+    from eegan_tpu.data.synthetic import synthetic_batch
+    from eegan_tpu.losses import damsm as dl, gan as gl
+    from eegan_tpu.models.attr_enhance import AttrEnhance
+    from eegan_tpu.models.factory import build_models
+    from eegan_tpu.training.state import create_train_state, make_optimizers
+    from eegan_tpu.training.steps import encode_text_bundle
+
+    c = Config()
+    c.GAN.GF_DIM = 32
+    c.GAN.DF_DIM = 32
+    c.TRAIN.CLASS_NUM = 200
+    c.TRAIN.BATCH_SIZE = 32
+    c.RUNTIME.COMPUTE_DTYPE = "bfloat16"
+    models = build_models(c, n_words=5450)
+    state, frozen = create_train_state(c, models, jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(c, 32, n_words=5450).items()}
+    g_tx, d_tx = make_optimizers(c)
+    sm = c.TRAIN.SMOOTH
+
+    results = {}
+
+    # --- text encode --------------------------------------------------
+    @jax.jit
+    def text_enc(frozen, batch):
+        return encode_text_bundle(models, frozen, c, batch)
+
+    results["text_encode"] = timeit(text_enc, frozen, batch)
+    words, sent, unpair_sent, attrs_emb = jax.block_until_ready(
+        text_enc(frozen, batch))
+
+    # --- G forward ----------------------------------------------------
+    noise = jax.random.normal(jax.random.PRNGKey(1), (32, c.GAN.Z_DIM))
+
+    @jax.jit
+    def g_forward(gp, ap, stats):
+        _, attn = models.attr_enhance.apply({"params": ap}, sent, attrs_emb)
+        merged = AttrEnhance.attr_merge(attn)
+        imgs, mut = models.generator.apply(
+            {"params": gp, "batch_stats": stats}, noise, sent, merged,
+            train=True, mutable=["batch_stats"])
+        return imgs, merged, mut["batch_stats"]
+
+    results["G_forward"] = timeit(g_forward, state.g_params,
+                                  state.attr_params, state.g_stats)
+    fake_imgs, merged, _ = jax.block_until_ready(
+        g_forward(state.g_params, state.attr_params, state.g_stats))
+    fake_imgs = [jax.lax.stop_gradient(x) for x in fake_imgs]
+
+    # --- per-scale D hinge step / MAGP step ---------------------------
+    for i, scale in enumerate(models.scales):
+        disc = models.discriminators[i]
+        real = batch[f"img{scale}"]
+        cls_labels = gl.one_hot_class_labels(batch["class_ids"],
+                                             c.TRAIN.CLASS_NUM)
+        is_cls = disc.disc_class
+
+        @jax.jit
+        def d_step(dp, d_opt, fake):
+            def loss(p):
+                fr = disc.apply({"params": p}, real, method="features")
+                ff = disc.apply({"params": p}, fake, method="features")
+                if is_cls:
+                    ro, rc = disc.apply({"params": p}, fr, sent, method="head")
+                    uo, _ = disc.apply({"params": p}, fr, unpair_sent,
+                                       method="head")
+                    fo, _ = disc.apply({"params": p}, ff, sent, method="head")
+                    extra = gl.bce_with_logits(rc, cls_labels)
+                else:
+                    ro = disc.apply({"params": p}, fr, sent, method="head")
+                    uo = disc.apply({"params": p}, fr, unpair_sent,
+                                    method="head")
+                    fo = disc.apply({"params": p}, ff, sent, method="head")
+                    extra = 0.0
+                return gl.d_hinge_total(gl.hinge_real(ro), gl.hinge_fake(fo),
+                                        gl.hinge_fake(uo)) + extra
+
+            grads = jax.grad(loss)(dp)
+            updates, d_opt = d_tx.update(grads, d_opt, dp)
+            return optax.apply_updates(dp, updates), d_opt
+
+        results[f"D{scale}_hinge_step"] = timeit(
+            d_step, state.d_params[i], state.d_opts[i], fake_imgs[i])
+
+        @jax.jit
+        def magp_step(dp, d_opt):
+            def gp_loss(p):
+                def pair_sum(img, s):
+                    feat = disc.apply({"params": p}, img, method="features")
+                    out = disc.apply({"params": p}, feat, s, method="head")
+                    if is_cls:
+                        out = out[0]
+                    return out.sum()
+
+                gi, gs = jax.grad(pair_sum, (0, 1))(real, sent)
+                return gl.magp_from_grads(gi, gs)
+
+            grads = jax.grad(gp_loss)(dp)
+            updates, d_opt = d_tx.update(grads, d_opt, dp)
+            return optax.apply_updates(dp, updates), d_opt
+
+        results[f"D{scale}_magp_step"] = timeit(
+            magp_step, state.d_params[i], state.d_opts[i])
+
+    # --- G update (adv + DAMSM through frozen Inception) --------------
+    @jax.jit
+    def g_update(gp, ap, stats):
+        def loss(gp_ap):
+            gp_, ap_ = gp_ap
+            imgs, merged_, _ = g_forward.__wrapped__(gp_, ap_, stats)
+            total = jnp.float32(0)
+            for i in range(3):
+                feat = models.discriminators[i].apply(
+                    {"params": state.d_params[i]}, imgs[i], method="features")
+                out = models.discriminators[i].apply(
+                    {"params": state.d_params[i]}, feat, sent, method="head")
+                total = total - (out[0] if models.discriminators[i].disc_class
+                                 else out).mean()
+            region, code = models.image_encoder.apply(
+                frozen.image_vars, imgs[-1], train=False)
+            s0, s1 = dl.sent_loss(code, sent, batch["class_ids"], sm.GAMMA3)
+            w0, w1 = dl.words_loss(region, words, batch["cap_lens"],
+                                   batch["class_ids"], sm.GAMMA1, sm.GAMMA2,
+                                   sm.GAMMA3)
+            a0, a1 = dl.sent_loss(code, merged_, batch["class_ids"], sm.GAMMA3)
+            return total + 0.05 * (s0 + s1 + w0 + w1 + a0 + a1)
+
+        return jax.grad(loss)((gp, ap))
+
+    results["G_update_grads"] = timeit(g_update, state.g_params,
+                                       state.attr_params, state.g_stats)
+
+    total = sum(results.values())
+    for k, v in results.items():
+        print(f"{k:22s} {v:8.2f} ms  ({100 * v / total:4.1f}% of phase sum)")
+    print(f"{'SUM':22s} {total:8.2f} ms "
+          f"(~{32 / total * 1000:.0f} img/s equivalent; fused step does better)")
+    print(json.dumps({"metric": "phase_sum_ms", "value": round(total, 2),
+                      "unit": "ms", "vs_baseline": 1.0}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""Fused train step with USE_CLASS=False (the COCO recipe, cfg/coco.yml):
+Dis256 uses the plain DiscSent head and no BCE class terms anywhere."""
+
+import jax
+import numpy as np
+
+from eegan_tpu.config import Config
+from eegan_tpu.data.synthetic import synthetic_batch
+from eegan_tpu.models.factory import build_models
+from eegan_tpu.parallel.mesh import make_mesh, shard_batch
+from eegan_tpu.training.state import create_train_state
+from eegan_tpu.training.steps import make_train_step
+
+
+def test_train_step_no_class():
+    c = Config()
+    c.GAN.GF_DIM = 4
+    c.GAN.DF_DIM = 4
+    c.TRAIN.BATCH_SIZE = 8
+    c.TRAIN.USE_CLASS = False
+    c.TRAIN.CLASS_NUM = 1
+    c.RUNTIME.COMPUTE_DTYPE = "float32"
+
+    models = build_models(c, n_words=40)
+    assert not models.discriminators[-1].disc_class
+    state, frozen = create_train_state(c, models, jax.random.PRNGKey(0))
+    mesh = make_mesh("data:8")
+    step = make_train_step(c, models, mesh=mesh, donate=False)
+    batch = shard_batch(synthetic_batch(c, 8, n_words=40), mesh)
+
+    new_state, metrics = step(state, frozen, batch, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert "errD_2/real_class" not in metrics
+    assert "errG/G_2_fake_class" not in metrics
+    assert "errD_2/d_loss_gp" in metrics
