@@ -12,9 +12,6 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
-
-
 def timeit(f, *args, iters=10):
     out = f(*args)
     import jax

@@ -22,7 +22,6 @@ score reference-trained models:
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def parse_args():

@@ -17,11 +17,10 @@ Replaces the reference's torch DataLoader (workers = batch/4, reference
 
 from __future__ import annotations
 
-import itertools
 import multiprocessing as mp
 import queue
 import threading
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 import numpy as np

@@ -20,8 +20,6 @@ import re
 from collections import defaultdict
 from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
-
 _TOKEN_RE = re.compile(r"\w+")
 
 

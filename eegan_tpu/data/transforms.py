@@ -12,7 +12,7 @@ Implemented with PIL + numpy, with ALL randomness drawn from an explicit
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 from PIL import Image

@@ -13,7 +13,6 @@ thread.
 
 from __future__ import annotations
 
-import os
 import queue
 import threading
 import traceback

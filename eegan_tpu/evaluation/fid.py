@@ -11,7 +11,7 @@ fp32).
 from __future__ import annotations
 
 import os
-from typing import Iterable, Iterator, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ import numpy as np
 
 from eegan_tpu.config import Config
 from eegan_tpu.data.datasets import TextOnlyDataset
-from eegan_tpu.models.factory import ModelBundle, build_models
+from eegan_tpu.models.factory import ModelBundle
 from eegan_tpu.training.state import FrozenEncoders
 from eegan_tpu.training.steps import make_sample_step
 from eegan_tpu.utils.images import mkdir_p, save_img_results_one_by_one

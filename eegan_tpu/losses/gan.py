@@ -9,8 +9,6 @@ against tiny oracles.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -18,7 +18,7 @@ order so reference checkpoints can be imported weight-for-weight.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List
 
 import jax.numpy as jnp
 from flax import linen as nn

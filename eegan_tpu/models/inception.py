@@ -16,7 +16,7 @@ convert mechanically (see `eegan_tpu/utils/torch_convert.py`).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

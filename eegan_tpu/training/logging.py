@@ -19,7 +19,6 @@ import time
 from typing import Dict, Optional
 
 import jax
-import numpy as np
 
 
 class MetricWriter:

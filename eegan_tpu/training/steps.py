@@ -22,7 +22,7 @@ GSPMD inserts the ICI psums that replace the reference's sync_batchnorm.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

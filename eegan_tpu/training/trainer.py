@@ -24,10 +24,10 @@ import numpy as np
 from eegan_tpu.config import Config
 from eegan_tpu.data.pipeline import DataPipeline, device_prefetch
 from eegan_tpu.models.factory import ModelBundle, build_models
-from eegan_tpu.parallel.mesh import make_mesh, shard_batch
+from eegan_tpu.parallel.mesh import make_mesh
 from eegan_tpu.training.checkpoint import CheckpointManager
 from eegan_tpu.training.logging import MetricWriter, StepTimer
-from eegan_tpu.training.state import FrozenEncoders, TrainState, create_train_state
+from eegan_tpu.training.state import FrozenEncoders, create_train_state
 from eegan_tpu.training.steps import make_sample_step, make_train_step
 from eegan_tpu.utils.images import (
     mkdir_p,

@@ -8,7 +8,6 @@ sweeps work identically.
 
 from __future__ import annotations
 
-import errno
 import os
 import shutil
 from typing import Dict, List, Optional, Sequence

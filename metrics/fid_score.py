@@ -60,10 +60,7 @@ def main():
         import jax
 
         from eegan_tpu.models.inception import InceptionV3
-        from eegan_tpu.utils.torch_convert import (
-            convert_image_encoder,
-            load_state_dict,
-        )
+        from eegan_tpu.utils.torch_convert import load_state_dict
         import jax.numpy as jnp
 
         model = InceptionV3(num_classes=0)
