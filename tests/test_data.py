@@ -10,57 +10,15 @@ from PIL import Image
 from eegan_tpu.config import Config
 from eegan_tpu.data.datasets import TextImageDataset, TextOnlyDataset
 from eegan_tpu.data.pipeline import DataPipeline
-from eegan_tpu.data.prep import (
-    build_bbox_pickle,
-    build_captions_pickle,
-    build_dictionary,
-    tokenize_caption,
-)
+from eegan_tpu.data.prep import build_dictionary, tokenize_caption
 
-N_FILES = 6
-CAPS_PER_IMAGE = 2
+from corpus_util import CAPS_PER_IMAGE, build_corpus
 
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     """Miniature CUB-shaped corpus with every artefact the loaders read."""
-    root = tmp_path_factory.mktemp("birds")
-    rng = np.random.RandomState(0)
-
-    filenames, bboxes = [], {}
-    os.makedirs(root / "images" / "001.cls", exist_ok=True)
-    os.makedirs(root / "text" / "001.cls", exist_ok=True)
-    for i in range(N_FILES):
-        key = f"001.cls/img_{i}"
-        filenames.append(key)
-        arr = rng.randint(0, 255, (300, 400, 3), np.uint8)
-        Image.fromarray(arr).save(root / "images" / f"{key}.jpg")
-        with open(root / "text" / f"{key}.txt", "w") as f:
-            f.write(f"this bird has a bright red head number {i}\n"
-                    f"a small bird with white belly and black wings\n")
-        bboxes[key] = [50, 40, 200, 180]
-
-    for split, names in [("train", filenames[:4]), ("test", filenames[4:])]:
-        os.makedirs(root / split, exist_ok=True)
-        with open(root / split / "filenames.pickle", "wb") as f:
-            pickle.dump(names, f, protocol=2)
-        with open(root / split / "class_info.pickle", "wb") as f:
-            pickle.dump([1 + (i % 2) for i in range(len(names))], f, protocol=2)
-
-    with open(root / "bounding_boxes.pickle", "wb") as f:
-        pickle.dump(bboxes, f, protocol=2)
-
-    build_captions_pickle(str(root), CAPS_PER_IMAGE)
-
-    # attributes pickle: per sentence, a couple of id-list attrs
-    with open(root / "captions.pickle", "rb") as f:
-        train_ids, test_ids, ixtoword, wordtoix = pickle.load(f)
-    mk = lambda caps: [[c[:3], c[3:5]] if len(c) >= 5 else [c] for c in caps]
-    os.makedirs(root / "attributes", exist_ok=True)
-    with open(root / "attributes" / "EE-GAN.pickle", "wb") as f:
-        pickle.dump([mk(train_ids), mk(test_ids)], f, protocol=2)
-
-    return str(root)
+    return build_corpus(tmp_path_factory.mktemp("birds"))
 
 
 def make_config(corpus):
