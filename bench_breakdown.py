@@ -5,17 +5,23 @@ Times, as separately jitted programs: text encoding, the generator forward,
 one hinge D step (per scale), one MAGP step (per scale), and the G update
 (downstream losses incl. the frozen-Inception DAMSM terms). Guides kernel
 work — phases that dominate are the fusion targets.
+
+All arrays are passed as jit arguments (closing over device arrays would
+bake them into the HLO as literals, which blows up the remote-compile
+payload).
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
+
 def timeit(f, *args, iters=10):
-    out = f(*args)
     import jax
 
+    out = f(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -52,7 +58,6 @@ def main():
 
     results = {}
 
-    # --- text encode --------------------------------------------------
     @jax.jit
     def text_enc(frozen, batch):
         return encode_text_bundle(models, frozen, c, batch)
@@ -60,12 +65,10 @@ def main():
     results["text_encode"] = timeit(text_enc, frozen, batch)
     words, sent, unpair_sent, attrs_emb = jax.block_until_ready(
         text_enc(frozen, batch))
-
-    # --- G forward ----------------------------------------------------
     noise = jax.random.normal(jax.random.PRNGKey(1), (32, c.GAN.Z_DIM))
 
     @jax.jit
-    def g_forward(gp, ap, stats):
+    def g_forward(gp, ap, stats, noise, sent, attrs_emb):
         _, attn = models.attr_enhance.apply({"params": ap}, sent, attrs_emb)
         merged = AttrEnhance.attr_merge(attn)
         imgs, mut = models.generator.apply(
@@ -74,35 +77,35 @@ def main():
         return imgs, merged, mut["batch_stats"]
 
     results["G_forward"] = timeit(g_forward, state.g_params,
-                                  state.attr_params, state.g_stats)
-    fake_imgs, merged, _ = jax.block_until_ready(
-        g_forward(state.g_params, state.attr_params, state.g_stats))
+                                  state.attr_params, state.g_stats,
+                                  noise, sent, attrs_emb)
+    fake_imgs, merged, _ = jax.block_until_ready(g_forward(
+        state.g_params, state.attr_params, state.g_stats, noise, sent,
+        attrs_emb))
     fake_imgs = [jax.lax.stop_gradient(x) for x in fake_imgs]
+    cls_labels = gl.one_hot_class_labels(batch["class_ids"], c.TRAIN.CLASS_NUM)
 
-    # --- per-scale D hinge step / MAGP step ---------------------------
     for i, scale in enumerate(models.scales):
         disc = models.discriminators[i]
-        real = batch[f"img{scale}"]
-        cls_labels = gl.one_hot_class_labels(batch["class_ids"],
-                                             c.TRAIN.CLASS_NUM)
         is_cls = disc.disc_class
 
-        @jax.jit
-        def d_step(dp, d_opt, fake):
+        @functools.partial(jax.jit, static_argnames=())
+        def d_step(dp, d_opt, real, fake, sent, unpair_sent, cls_labels,
+                   _disc=disc, _is_cls=is_cls):
             def loss(p):
-                fr = disc.apply({"params": p}, real, method="features")
-                ff = disc.apply({"params": p}, fake, method="features")
-                if is_cls:
-                    ro, rc = disc.apply({"params": p}, fr, sent, method="head")
-                    uo, _ = disc.apply({"params": p}, fr, unpair_sent,
-                                       method="head")
-                    fo, _ = disc.apply({"params": p}, ff, sent, method="head")
+                fr = _disc.apply({"params": p}, real, method="features")
+                ff = _disc.apply({"params": p}, fake, method="features")
+                if _is_cls:
+                    ro, rc = _disc.apply({"params": p}, fr, sent, method="head")
+                    uo, _ = _disc.apply({"params": p}, fr, unpair_sent,
+                                        method="head")
+                    fo, _ = _disc.apply({"params": p}, ff, sent, method="head")
                     extra = gl.bce_with_logits(rc, cls_labels)
                 else:
-                    ro = disc.apply({"params": p}, fr, sent, method="head")
-                    uo = disc.apply({"params": p}, fr, unpair_sent,
-                                    method="head")
-                    fo = disc.apply({"params": p}, ff, sent, method="head")
+                    ro = _disc.apply({"params": p}, fr, sent, method="head")
+                    uo = _disc.apply({"params": p}, fr, unpair_sent,
+                                     method="head")
+                    fo = _disc.apply({"params": p}, ff, sent, method="head")
                     extra = 0.0
                 return gl.d_hinge_total(gl.hinge_real(ro), gl.hinge_fake(fo),
                                         gl.hinge_fake(uo)) + extra
@@ -112,15 +115,16 @@ def main():
             return optax.apply_updates(dp, updates), d_opt
 
         results[f"D{scale}_hinge_step"] = timeit(
-            d_step, state.d_params[i], state.d_opts[i], fake_imgs[i])
+            d_step, state.d_params[i], state.d_opts[i], batch[f"img{scale}"],
+            fake_imgs[i], sent, unpair_sent, cls_labels)
 
         @jax.jit
-        def magp_step(dp, d_opt):
+        def magp_step(dp, d_opt, real, sent, _disc=disc, _is_cls=is_cls):
             def gp_loss(p):
                 def pair_sum(img, s):
-                    feat = disc.apply({"params": p}, img, method="features")
-                    out = disc.apply({"params": p}, feat, s, method="head")
-                    if is_cls:
+                    feat = _disc.apply({"params": p}, img, method="features")
+                    out = _disc.apply({"params": p}, feat, s, method="head")
+                    if _is_cls:
                         out = out[0]
                     return out.sum()
 
@@ -132,41 +136,47 @@ def main():
             return optax.apply_updates(dp, updates), d_opt
 
         results[f"D{scale}_magp_step"] = timeit(
-            magp_step, state.d_params[i], state.d_opts[i])
+            magp_step, state.d_params[i], state.d_opts[i],
+            batch[f"img{scale}"], sent)
 
-    # --- G update (adv + DAMSM through frozen Inception) --------------
     @jax.jit
-    def g_update(gp, ap, stats):
+    def g_update(gp, ap, stats, d_params, noise, sent, attrs_emb, words,
+                 cap_lens, class_ids):
         def loss(gp_ap):
             gp_, ap_ = gp_ap
-            imgs, merged_, _ = g_forward.__wrapped__(gp_, ap_, stats)
+            _, attn = models.attr_enhance.apply({"params": ap_}, sent,
+                                                attrs_emb)
+            merged_ = AttrEnhance.attr_merge(attn)
+            imgs, _ = models.generator.apply(
+                {"params": gp_, "batch_stats": stats}, noise, sent, merged_,
+                train=True, mutable=["batch_stats"])
             total = jnp.float32(0)
             for i in range(3):
-                feat = models.discriminators[i].apply(
-                    {"params": state.d_params[i]}, imgs[i], method="features")
-                out = models.discriminators[i].apply(
-                    {"params": state.d_params[i]}, feat, sent, method="head")
-                total = total - (out[0] if models.discriminators[i].disc_class
-                                 else out).mean()
+                disc = models.discriminators[i]
+                feat = disc.apply({"params": d_params[i]}, imgs[i],
+                                  method="features")
+                out = disc.apply({"params": d_params[i]}, feat, sent,
+                                 method="head")
+                total = total - (out[0] if disc.disc_class else out).mean()
             region, code = models.image_encoder.apply(
                 frozen.image_vars, imgs[-1], train=False)
-            s0, s1 = dl.sent_loss(code, sent, batch["class_ids"], sm.GAMMA3)
-            w0, w1 = dl.words_loss(region, words, batch["cap_lens"],
-                                   batch["class_ids"], sm.GAMMA1, sm.GAMMA2,
-                                   sm.GAMMA3)
-            a0, a1 = dl.sent_loss(code, merged_, batch["class_ids"], sm.GAMMA3)
+            s0, s1 = dl.sent_loss(code, sent, class_ids, sm.GAMMA3)
+            w0, w1 = dl.words_loss(region, words, cap_lens, class_ids,
+                                   sm.GAMMA1, sm.GAMMA2, sm.GAMMA3)
+            a0, a1 = dl.sent_loss(code, merged_, class_ids, sm.GAMMA3)
             return total + 0.05 * (s0 + s1 + w0 + w1 + a0 + a1)
 
         return jax.grad(loss)((gp, ap))
 
-    results["G_update_grads"] = timeit(g_update, state.g_params,
-                                       state.attr_params, state.g_stats)
+    results["G_update_grads"] = timeit(
+        g_update, state.g_params, state.attr_params, state.g_stats,
+        tuple(state.d_params), noise, sent, attrs_emb, words,
+        batch["cap_lens"], batch["class_ids"])
 
     total = sum(results.values())
     for k, v in results.items():
         print(f"{k:22s} {v:8.2f} ms  ({100 * v / total:4.1f}% of phase sum)")
-    print(f"{'SUM':22s} {total:8.2f} ms "
-          f"(~{32 / total * 1000:.0f} img/s equivalent; fused step does better)")
+    print(f"{'SUM':22s} {total:8.2f} ms")
     print(json.dumps({"metric": "phase_sum_ms", "value": round(total, 2),
                       "unit": "ms", "vs_baseline": 1.0}))
 

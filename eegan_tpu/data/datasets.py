@@ -115,7 +115,7 @@ class TextImageDataset:
     """Training dataset (reference `TextDataset`, datasets.py:192-445)."""
 
     def __init__(self, config: Config, split: str = "train",
-                 attr_name: str = "EE-GAN"):
+                 attr_name: str = "EE-GAN", preload: bool = False):
         self.config = config
         self.split = split
         self.data_dir = config.DATA_DIR
@@ -137,8 +137,76 @@ class TextImageDataset:
         self.attributes = (load_attributes(self.data_dir, attr_name, split)
                            if self.use_attr else None)
 
+        # Optional decoded-image cache: JPEG decode + bbox crop happen once
+        # here; worker processes inherit the arrays copy-on-write via fork.
+        # Keeps the host pipeline ahead of the chip (~4.7k img/s train step).
+        self._decoded = None
+        if preload:
+            self._decoded = self._preload_images()
+
     def __len__(self) -> int:
         return len(self.filenames)
+
+    def sample_batch(self, indices, rngs):
+        """Batched fast path: ONE native OpenMP call for all image work.
+
+        Requires preload=True and the native library; falls back to the
+        per-sample path otherwise. Draw order per sample matches `sample`
+        exactly, so the output is bit-identical to stacking per-sample calls
+        (tested in tests/test_data.py).
+        """
+        from eegan_tpu.data import native
+
+        if self._decoded is None or not native.available():
+            samples = [self.sample(i, rng) for i, rng in zip(indices, rngs)]
+            return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+        base = self.imsizes[-1]
+        target = int(base * 76 / 64)
+        crops = np.zeros((len(indices), 3), np.int32)
+        texts = []
+        for j, (i, rng) in enumerate(zip(indices, rngs)):
+            h, w = self._decoded[i].shape[:2]
+            if w <= h:
+                ow, oh = target, max(1, int(round(target * h / w)))
+            else:
+                oh, ow = target, max(1, int(round(target * w / h)))
+            crops[j, 0] = int(rng.integers(0, max(oh - base, 0) + 1))
+            crops[j, 1] = int(rng.integers(0, max(ow - base, 0) + 1))
+            crops[j, 2] = int(rng.random() < 0.5)
+            texts.append(self._text_fields(i, rng))
+
+        pyramids = native.batch_pyramid_varsize(
+            [self._decoded[i] for i in indices], crops, target, base,
+            self.imsizes)
+        out = {f"img{sz}": arr for sz, arr in zip(self.imsizes, pyramids)}
+        for k in texts[0]:
+            out[k] = np.stack([t[k] for t in texts])
+        return out
+
+    def _text_fields(self, index: int, rng: np.random.Generator):
+        """Caption/attr/unpair fields for one sample (draw order shared with
+        `sample`)."""
+        cls_id = int(self.class_id[index])
+        caps, cap_len, sent_ix = self.caption_for(index, rng)
+        out = {"caps": caps, "cap_lens": np.int32(cap_len),
+               "class_ids": np.int32(cls_id)}
+        if self.use_attr:
+            attrs, _, attr_lens = pad_attributes(
+                self.attributes[sent_ix], self.max_attr_num,
+                self.max_attr_len, rng)
+        else:
+            attrs = np.zeros((self.max_attr_num, self.max_attr_len), np.int32)
+            attr_lens = np.ones(self.max_attr_num, np.int32)
+        out["attrs"] = attrs
+        out["attr_lens"] = attr_lens
+        if self.use_unpair:
+            u_caps, u_len, _ = self.unpair_caption(cls_id, rng)
+        else:
+            u_caps, u_len = caps, cap_len
+        out["unpair_caps"] = u_caps
+        out["unpair_cap_lens"] = np.int32(u_len)
+        return out
 
     # ------------------------------------------------------------------
     def caption_for(self, index: int, rng: np.random.Generator
@@ -162,40 +230,52 @@ class TextImageDataset:
     def image_path(self, key: str) -> str:
         return os.path.join(self.data_dir, "images", f"{key}.jpg")
 
+    def _preload_images(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from PIL import Image
+
+        from eegan_tpu.data.transforms import bbox_crop
+
+        def decode(index):
+            key = self.filenames[index]
+            img = Image.open(self.image_path(key)).convert("RGB")
+            if self.bbox is not None:
+                img = bbox_crop(img, self.bbox[key])
+            # pre-shrink very large sources: the pipeline never needs more
+            # than ~1.6x the base resolution
+            limit = self.imsizes[-1] * 2
+            if min(img.size) > limit:
+                w, h = img.size
+                scale = limit / min(w, h)
+                img = img.resize((int(w * scale), int(h * scale)),
+                                 Image.BILINEAR)
+            return np.asarray(img, dtype=np.uint8)
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            decoded = list(pool.map(decode, range(len(self))))
+        total_mb = sum(a.nbytes for a in decoded) / 2 ** 20
+        print(f"preloaded {len(decoded)} images ({total_mb:.0f} MiB)")
+        return decoded
+
     def sample(self, index: int, rng: np.random.Generator,
                augment: bool = True) -> Dict[str, np.ndarray]:
         key = self.filenames[index]
         cls_id = int(self.class_id[index])
         bbox = self.bbox[key] if self.bbox is not None else None
 
-        pyramid = load_image_pyramid(self.image_path(key), self.imsizes,
-                                     bbox, rng, augment=augment)
-        caps, cap_len, sent_ix = self.caption_for(index, rng)
+        if self._decoded is not None:
+            from eegan_tpu.data.transforms import pyramid_from_array
+
+            pyramid = pyramid_from_array(self._decoded[index], self.imsizes,
+                                         rng, augment=augment)
+        else:
+            pyramid = load_image_pyramid(self.image_path(key), self.imsizes,
+                                         bbox, rng, augment=augment)
 
         out: Dict[str, np.ndarray] = {
             f"img{s}": im for s, im in zip(self.imsizes, pyramid)}
-        out.update({
-            "caps": caps,
-            "cap_lens": np.int32(cap_len),
-            "class_ids": np.int32(cls_id),
-        })
-
-        if self.use_attr:
-            attrs, _, attr_lens = pad_attributes(
-                self.attributes[sent_ix], self.max_attr_num,
-                self.max_attr_len, rng)
-        else:
-            attrs = np.zeros((self.max_attr_num, self.max_attr_len), np.int32)
-            attr_lens = np.ones(self.max_attr_num, np.int32)
-        out["attrs"] = attrs
-        out["attr_lens"] = attr_lens
-
-        if self.use_unpair:
-            u_caps, u_len, _ = self.unpair_caption(cls_id, rng)
-        else:
-            u_caps, u_len = caps, cap_len
-        out["unpair_caps"] = u_caps
-        out["unpair_cap_lens"] = np.int32(u_len)
+        out.update(self._text_fields(index, rng))
         return out
 
 

@@ -55,6 +55,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+        lib.batch_pyramid_varsize.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
         _lib = lib
         return _lib
 
@@ -75,6 +81,38 @@ def resize_bilinear(img: np.ndarray, out_hw) -> np.ndarray:
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), oh, ow)
     return out
+
+
+def batch_pyramid_varsize(images, crops: np.ndarray, target: int, base: int,
+                          sizes: Sequence[int]) -> List[np.ndarray]:
+    """Batch augment over differently-sized decoded uint8 images.
+
+    images: list of (H_i, W_i, C) uint8 arrays; crops: (B, 3) int32
+    (y, x, flip) in the shorter-side=``target`` resized frame.
+    Per image: resize shorter side to `target`, crop `base`², optional
+    hflip, per-branch resize + normalise to [-1, 1]. OpenMP-parallel, one
+    C call per batch (zero IPC — the TPU-host feeding path).
+    """
+    lib = get_lib()
+    assert lib is not None
+    b = len(images)
+    c = images[0].shape[2]
+    images = [np.ascontiguousarray(im, dtype=np.uint8) for im in images]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * b)(
+        *[im.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for im in images])
+    dims = np.ascontiguousarray(
+        [[im.shape[0], im.shape[1]] for im in images], dtype=np.int32)
+    crops = np.ascontiguousarray(crops, dtype=np.int32)
+    sizes_arr = np.ascontiguousarray(sizes, dtype=np.int32)
+    outs = [np.empty((b, s, s, c), np.float32) for s in sizes]
+    optrs = (ctypes.POINTER(ctypes.c_float) * len(outs))(
+        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for o in outs])
+    lib.batch_pyramid_varsize(
+        ptrs, dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), b, c,
+        target, base, crops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        sizes_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(sizes),
+        optrs)
+    return outs
 
 
 def batch_pyramid(images: np.ndarray, crops: np.ndarray, flips: np.ndarray,

@@ -84,8 +84,16 @@ class DataPipeline:
         limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
         order = order[:limit]
 
+        use_batch = (hasattr(self.dataset, "sample_batch")
+                     and getattr(self.dataset, "_decoded", None) is not None)
         for start in range(0, len(order), self.batch_size):
             idxs = order[start:start + self.batch_size]
+            if use_batch:
+                # zero-IPC fast path: one native OpenMP call per batch
+                rngs = [np.random.default_rng([self.seed, epoch, int(i)])
+                        for i in idxs]
+                yield self.dataset.sample_batch([int(i) for i in idxs], rngs)
+                continue
             args = [(self.seed, epoch, int(i)) for i in idxs]
             if self._pool is not None:
                 samples = self._pool.map(_worker_sample, args)

@@ -57,6 +57,59 @@ def to_normalized_array(img: Image.Image) -> np.ndarray:
     return arr * 2.0 - 1.0
 
 
+def pyramid_from_array(arr: np.ndarray, imsizes: Sequence[int],
+                       rng: Optional[np.random.Generator],
+                       augment: bool = True,
+                       use_native: bool = True) -> List[np.ndarray]:
+    """Pyramid from a decoded uint8 HWC array (post bbox-crop).
+
+    Same augmentation semantics as `load_image_pyramid`; used by the
+    preload-cache fast path (datasets.TextImageDataset(preload=True)) where
+    JPEG decode happens once up front.
+    """
+    from eegan_tpu.data import native
+
+    base = imsizes[-1]
+    have_native = use_native and native.available()
+
+    h, w = arr.shape[:2]
+    target = int(base * 76 / 64) if augment else base
+    if w <= h:
+        ow, oh = target, max(1, int(round(target * h / w)))
+    else:
+        oh, ow = target, max(1, int(round(target * w / h)))
+
+    if have_native:
+        resized = native.resize_bilinear(arr, (oh, ow))  # float32 [0,255]
+    else:
+        img = Image.fromarray(arr).resize((ow, oh), Image.BILINEAR)
+        resized = np.asarray(img, dtype=np.float32)
+
+    if augment:
+        assert rng is not None
+        y = int(rng.integers(0, max(oh - base, 0) + 1))
+        x = int(rng.integers(0, max(ow - base, 0) + 1))
+        crop = resized[y:y + base, x:x + base]
+        if rng.random() < 0.5:
+            crop = crop[:, ::-1]
+    else:
+        y, x = (oh - base) // 2, (ow - base) // 2
+        crop = resized[y:y + base, x:x + base]
+    crop = np.ascontiguousarray(crop)
+
+    out = []
+    crop_u8 = np.clip(crop, 0, 255).astype(np.uint8)
+    for s in imsizes:
+        if s == base:
+            out.append(crop / 127.5 - 1.0)
+        elif have_native:
+            out.append(native.resize_bilinear(crop_u8, (s, s)) / 127.5 - 1.0)
+        else:
+            img = Image.fromarray(crop_u8).resize((s, s), Image.BILINEAR)
+            out.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+    return [o.astype(np.float32) for o in out]
+
+
 def load_image_pyramid(path: str, imsizes: Sequence[int],
                        bbox: Optional[Sequence[int]],
                        rng: Optional[np.random.Generator],

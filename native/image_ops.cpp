@@ -140,4 +140,64 @@ void batch_pyramid(const uint8_t* src, int B, int sh, int sw, int c,
   }
 }
 
+// Variable-size batch pipeline over preloaded decoded images:
+// per image i: shorter-side resize to `target` -> crop (y,x,base,base) ->
+// optional hflip -> quantise to u8 -> per-branch resize -> [-1,1] float.
+// srcs: B pointers to uint8 HWC images with dims[i*2]=h, dims[i*2+1]=w.
+// crops: B x 3 ints (y, x, flip) in the resized coordinate frame.
+// outs[k]: B x (sizes[k], sizes[k], c) float32.
+void batch_pyramid_varsize(const uint8_t** srcs, const int* dims, int B,
+                           int c, int target, int base, const int* crops,
+                           const int* sizes, int K, float** outs) {
+#pragma omp parallel for schedule(dynamic)
+  for (int b = 0; b < B; ++b) {
+    const int sh = dims[b * 2], sw = dims[b * 2 + 1];
+    int oh, ow;
+    if (sw <= sh) {
+      ow = target;
+      oh = std::max(1, static_cast<int>(std::lround(
+                           static_cast<double>(target) * sh / sw)));
+    } else {
+      oh = target;
+      ow = std::max(1, static_cast<int>(std::lround(
+                           static_cast<double>(target) * sw / sh)));
+    }
+    std::vector<float> resized(static_cast<size_t>(oh) * ow * c);
+    resize_one(srcs[b], sh, sw, c, resized.data(), oh, ow);
+
+    const int cy = crops[b * 3 + 0], cx = crops[b * 3 + 1];
+    const int flip = crops[b * 3 + 2];
+    std::vector<uint8_t> crop_u8(static_cast<size_t>(base) * base * c);
+    std::vector<float> crop_f(static_cast<size_t>(base) * base * c);
+    for (int y = 0; y < base; ++y) {
+      for (int x = 0; x < base; ++x) {
+        const int sx = flip ? (base - 1 - x) : x;
+        const float* src_px =
+            resized.data() + (static_cast<size_t>(cy + y) * ow + cx + sx) * c;
+        float* dstf = crop_f.data() + (static_cast<size_t>(y) * base + x) * c;
+        uint8_t* dstu =
+            crop_u8.data() + (static_cast<size_t>(y) * base + x) * c;
+        for (int ch = 0; ch < c; ++ch) {
+          const float v = src_px[ch];
+          dstf[ch] = v;
+          const float q = std::min(std::max(v, 0.f), 255.f);
+          dstu[ch] = static_cast<uint8_t>(q);
+        }
+      }
+    }
+    for (int k = 0; k < K; ++k) {
+      const int s = sizes[k];
+      float* out = outs[k] + static_cast<size_t>(b) * s * s * c;
+      const size_t n = static_cast<size_t>(s) * s * c;
+      if (s == base) {
+        for (size_t i = 0; i < n; ++i)
+          out[i] = crop_f[i] * (1.f / 127.5f) - 1.f;
+      } else {
+        resize_one(crop_u8.data(), base, base, c, out, s, s);
+        for (size_t i = 0; i < n; ++i) out[i] = out[i] * (1.f / 127.5f) - 1.f;
+      }
+    }
+  }
+}
+
 }  // extern "C"

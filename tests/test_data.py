@@ -132,3 +132,38 @@ def test_attribute_padding_overflow():
     assert out.shape == (3, 5)
     assert n == 3
     assert lens.min() >= 1  # empty slots keep len 1 (datasets.py:318)
+
+
+def test_preload_cache_equivalent_shapes(corpus):
+    c = make_config(corpus)
+    ds = TextImageDataset(c, split="train", preload=True)
+    rng = np.random.default_rng([1, 2, 3])
+    s = ds.sample(0, rng)
+    assert s["img64"].shape == (64, 64, 3)
+    assert s["img256"].shape == (256, 256, 3)
+    assert s["img256"].dtype == np.float32
+    assert s["img256"].min() >= -1.0 and s["img256"].max() <= 1.0
+    # determinism holds on the cached path too
+    rng2 = np.random.default_rng([1, 2, 3])
+    s2 = ds.sample(0, rng2)
+    np.testing.assert_array_equal(s["img128"], s2["img128"])
+
+
+def test_sample_batch_matches_per_sample(corpus):
+    from eegan_tpu.data import native
+
+    if not native.available():
+        import pytest as _pytest
+
+        _pytest.skip("native lib unavailable")
+    c = make_config(corpus)
+    ds = TextImageDataset(c, split="train", preload=True)
+    idxs = [0, 1, 2]
+    rngs1 = [np.random.default_rng([9, 0, i]) for i in idxs]
+    rngs2 = [np.random.default_rng([9, 0, i]) for i in idxs]
+    batch = ds.sample_batch(idxs, rngs1)
+    singles = [ds.sample(i, r) for i, r in zip(idxs, rngs2)]
+    for k in batch:
+        stacked = np.stack([s[k] for s in singles])
+        np.testing.assert_allclose(batch[k], stacked, atol=2e-5,
+                                   err_msg=k)
