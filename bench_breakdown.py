@@ -140,8 +140,8 @@ def main():
             batch[f"img{scale}"], sent)
 
     @jax.jit
-    def g_update(gp, ap, stats, d_params, noise, sent, attrs_emb, words,
-                 cap_lens, class_ids):
+    def g_update(gp, ap, stats, d_params, image_vars, noise, sent, attrs_emb,
+                 words, cap_lens, class_ids):
         def loss(gp_ap):
             gp_, ap_ = gp_ap
             _, attn = models.attr_enhance.apply({"params": ap_}, sent,
@@ -159,7 +159,7 @@ def main():
                                  method="head")
                 total = total - (out[0] if disc.disc_class else out).mean()
             region, code = models.image_encoder.apply(
-                frozen.image_vars, imgs[-1], train=False)
+                image_vars, imgs[-1], train=False)
             s0, s1 = dl.sent_loss(code, sent, class_ids, sm.GAMMA3)
             w0, w1 = dl.words_loss(region, words, cap_lens, class_ids,
                                    sm.GAMMA1, sm.GAMMA2, sm.GAMMA3)
@@ -170,8 +170,8 @@ def main():
 
     results["G_update_grads"] = timeit(
         g_update, state.g_params, state.attr_params, state.g_stats,
-        tuple(state.d_params), noise, sent, attrs_emb, words,
-        batch["cap_lens"], batch["class_ids"])
+        tuple(state.d_params), frozen.image_vars, noise, sent, attrs_emb,
+        words, batch["cap_lens"], batch["class_ids"])
 
     total = sum(results.values())
     for k, v in results.items():

@@ -75,6 +75,39 @@ def save_img_results_one_by_one(images: np.ndarray, keys: Sequence[str],
             os.path.join(image_dir, f"{name}.png"))
 
 
+def get_filenames(data_path: str) -> List[str]:
+    """Recursive jpg/png walker (reference `get_filenames`)."""
+    out = []
+    for path, _, files in os.walk(data_path):
+        for name in files:
+            if name.lower().endswith((".jpg", ".png")):
+                full = os.path.join(path, name)
+                if os.path.isfile(full):
+                    out.append(full)
+    return out
+
+
+def get_filenames_from_pickle(data_path: str, pickle_path: str) -> List[str]:
+    """Keys pickle -> image paths (reference `get_filenames_from_pickle`)."""
+    import pickle
+
+    with open(pickle_path, "rb") as f:
+        keys = pickle.load(f)
+    return [os.path.join(data_path, f"{k}.jpg") for k in keys]
+
+
+def recall_at_k(scores: np.ndarray, ks: Sequence[int] = (1, 5, 10)) -> np.ndarray:
+    """Recall@k hits for retrieval scores where index 0 is the true match.
+
+    Batched rebuild of `calculate_r` (reference `miscc/utils.py:102-113`):
+    scores (B, N) similarity rows; returns per-k hit counts over the batch.
+    """
+    scores = np.atleast_2d(np.asarray(scores))
+    order = np.argsort(-scores, axis=1)
+    rank_of_true = np.argmax(order == 0, axis=1)  # position of index 0
+    return np.array([(rank_of_true < k).sum() for k in ks])
+
+
 def save_text_results(caps: np.ndarray, cap_lens: np.ndarray,
                       ixtoword: Dict[int, str], path: str,
                       attrs: Optional[np.ndarray] = None,
