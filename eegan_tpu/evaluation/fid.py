@@ -35,10 +35,13 @@ class FIDExtractor:
                 rng, jnp.zeros((1, 299, 299, 3)), train=False)
         self.variables = variables
 
+        # variables are a jit ARGUMENT (closing over them would bake ~90MB
+        # of weights into the HLO as constants — catastrophically slow
+        # through the remote-compile path).
         @jax.jit
-        def _features(x):
+        def _features(variables, x):
             x = resize_bilinear_half_pixel(x, (299, 299))
-            return self.model.apply(self.variables, x, train=False)["pool3"]
+            return self.model.apply(variables, x, train=False)["pool3"]
 
         self._features = _features
 
@@ -54,7 +57,8 @@ class FIDExtractor:
                 pad = bs - len(chunk)
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
-            feats = np.asarray(self._features(jnp.asarray(chunk)))
+            feats = np.asarray(self._features(self.variables,
+                                              jnp.asarray(chunk)))
             outs.append(feats[:bs - pad] if pad else feats)
         return np.concatenate(outs, axis=0)
 

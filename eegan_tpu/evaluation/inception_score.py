@@ -56,10 +56,11 @@ class InceptionScorer:
                 rng, jnp.zeros((1, 299, 299, 3)), train=False)
         self.variables = variables
 
+        # variables as jit argument — see FIDExtractor for why.
         @jax.jit
-        def _probs(x):
+        def _probs(variables, x):
             x = resize_bilinear_half_pixel(x, (299, 299))
-            logits = self.model.apply(self.variables, x, train=False)["logits"]
+            logits = self.model.apply(variables, x, train=False)["logits"]
             if self.drop_background:
                 # fine-tuned checkpoints reserve class 0 for background
                 # (reference :99: softmax over logits[:, 1:]).
@@ -78,7 +79,8 @@ class InceptionScorer:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
-            p = np.asarray(self._probs(jnp.asarray(chunk)))
+            p = np.asarray(self._probs(self.variables,
+                                       jnp.asarray(chunk)))
             outs.append(p[:bs - pad] if pad else p)
         return np.concatenate(outs, axis=0)
 
