@@ -18,9 +18,13 @@ vs_baseline >= 3.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 A100_REFERENCE_IMGS_PER_SEC = 40.0  # documented estimate, see module docstring
+
+# Protocol batch is 32/chip (the CUB recipe); override for scaling probes.
+BATCH_PER_CHIP = int(os.environ.get("EEGAN_BENCH_BATCH", "32"))
 
 
 def main():
@@ -38,7 +42,7 @@ def main():
     config.GAN.GF_DIM = 32  # cfg/bird.yml flagship
     config.GAN.DF_DIM = 32
     config.TRAIN.CLASS_NUM = 200
-    config.TRAIN.BATCH_SIZE = 32 * n_dev
+    config.TRAIN.BATCH_SIZE = BATCH_PER_CHIP * n_dev
     config.RUNTIME.COMPUTE_DTYPE = "bfloat16"
 
     mesh = make_mesh(f"data:{n_dev}")

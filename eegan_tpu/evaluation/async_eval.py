@@ -100,9 +100,9 @@ class AsyncEvaluator:
                 jnp.asarray(batch["caps"]), jnp.asarray(batch["cap_lens"]),
                 jnp.asarray(batch["attrs"]), jnp.asarray(batch["attr_lens"]),
                 key)
-            img256 = np.asarray(imgs[-1])
+            img256 = imgs[-1]  # stays on device
             if self._extractor is not None:
-                feats.append(self._extractor.features(img256))
+                feats.append(np.asarray(self._extractor.features_jax(img256)))
             if self.compute_r_precision:
                 hits.append(tester._r_precision_batch(batch, img256, 100, rng))
             produced += len(img256)

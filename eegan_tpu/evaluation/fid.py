@@ -45,6 +45,15 @@ class FIDExtractor:
 
         self._features = _features
 
+    def features_jax(self, images) -> jnp.ndarray:
+        """Device-resident feature extraction (no host round-trip).
+
+        For the overlapped-evaluation path the generated images are already
+        on the accelerator; fetching them to host and re-uploading would
+        bottleneck on host<->device bandwidth.
+        """
+        return self._features(self.variables, images)
+
     def features(self, images: np.ndarray) -> np.ndarray:
         """images: (N, H, W, 3) float32 in [-1, 1] -> (N, 2048)."""
         outs = []
