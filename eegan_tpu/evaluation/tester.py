@@ -176,7 +176,6 @@ class Tester:
               compute_r_precision: bool = False,
               saving_images: bool = True) -> Dict:
         """Epoch×repeat sweep (reference `Tester.main`, test.py:184-242)."""
-        template = {"g_params": None, "g_stats": None, "attr_params": None}
         results = {}
         for epoch in select_epochs:
             try:

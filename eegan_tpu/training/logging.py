@@ -15,6 +15,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import threading
 import time
 from typing import Dict, Optional
 
@@ -22,8 +23,11 @@ import jax
 
 
 class MetricWriter:
+    """Thread-safe: the trainer and the async evaluator both write."""
+
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
+        self._lock = threading.Lock()
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
         try:
@@ -36,11 +40,12 @@ class MetricWriter:
     def write_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         clean = {k: float(v) for k, v in scalars.items()}
         record = {"step": int(step), "time": time.time(), **clean}
-        self._jsonl.write(json.dumps(record) + "\n")
-        self._jsonl.flush()
-        if self._tb is not None:
-            for k, v in clean.items():
-                self._tb.add_scalar(k, v, step)
+        with self._lock:
+            self._jsonl.write(json.dumps(record) + "\n")
+            self._jsonl.flush()
+            if self._tb is not None:
+                for k, v in clean.items():
+                    self._tb.add_scalar(k, v, step)
 
     def close(self):
         self._jsonl.close()
