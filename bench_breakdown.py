@@ -19,6 +19,10 @@ import time
 
 
 def timeit(f, *args, iters=10):
+    """Per-iteration sync: the runtime cancels unconsumed queued work, so a
+    sync-at-end loop under-measures. This includes the dispatch round-trip
+    (~tens of ms through the dev tunnel), so phase numbers here are UPPER
+    bounds; relative comparisons remain meaningful."""
     import jax
 
     out = f(*args)
@@ -26,7 +30,7 @@ def timeit(f, *args, iters=10):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

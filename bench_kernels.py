@@ -40,15 +40,22 @@ def main():
         diff = float(jnp.max(jnp.abs(a - b)))
 
         def timeit(f):
+            # Chain each iteration's input on the previous output: the
+            # runtime cancels computations whose results are never consumed,
+            # so an unchained loop only measures dispatch latency.
+            out = f(regions)
+            out.block_until_ready()
             t0 = time.perf_counter()
+            r = regions
             for _ in range(20):
-                out = f()
+                r = regions + 1e-12 * out[0, 0]
+                out = f(r)
             out.block_until_ready()
             return (time.perf_counter() - t0) / 20 * 1e3
 
-        t_xla = timeit(lambda: xla(regions, words, lens_j))
-        t_pl = timeit(lambda: words_similarity_pallas(regions, words, lens_j,
-                                                      None))
+        t_xla = timeit(lambda r: xla(r, words, lens_j))
+        t_pl = timeit(lambda r: words_similarity_pallas(r, words, lens_j,
+                                                        None))
         results[B] = {"xla_ms": round(t_xla, 3), "pallas_ms": round(t_pl, 3),
                       "speedup": round(t_xla / t_pl, 2), "max_diff": diff}
         print(f"B={B}: xla {t_xla:.3f} ms, pallas {t_pl:.3f} ms "

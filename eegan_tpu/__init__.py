@@ -20,6 +20,25 @@ Layout:
     utils         image/text IO, torch checkpoint conversion, profiling
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: compiles through this environment's
+# remote-compile tunnel run minutes-per-program; the cache turns warm starts
+# into seconds. Opt out with EEGAN_NO_COMPILE_CACHE=1.
+if not _os.environ.get("EEGAN_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from eegan_tpu.config import Config, cfg, cfg_from_file, fresh_config
 
 __version__ = "0.1.0"
