@@ -28,7 +28,12 @@ def parse_args():
     parser.add_argument("--num_classes", type=int, default=51,
                         help="50 birds / 20 flowers + 1 background "
                              "(reference inception_score.py:41-51)")
-    parser.add_argument("--inception_ckpt", type=str, default="")
+    parser.add_argument("--inception_ckpt", type=str, default="",
+                        help="torch .pth to convert")
+    parser.add_argument("--is_classifier", type=str, default="",
+                        help="Orbax dir from finetune_inception.py")
+    parser.add_argument("--cfg", type=str, default="cfg/bird.yml",
+                        help="config (class count) for --is_classifier")
     return parser.parse_args()
 
 
@@ -38,7 +43,14 @@ def main():
     from eegan_tpu.evaluation.inception_score import InceptionScorer
 
     variables = None
-    if args.inception_ckpt:
+    if args.is_classifier:
+        from eegan_tpu.config import fresh_config
+        from eegan_tpu.evaluation.inception_finetune import load_is_classifier
+
+        config = fresh_config(args.cfg)
+        config.TRAIN.CLASS_NUM = args.num_classes - 1
+        variables = load_is_classifier(args.is_classifier, config)
+    elif args.inception_ckpt:
         import jax
         import jax.numpy as jnp
 
