@@ -16,9 +16,13 @@ Findings so far (one v5e chip):
   ||grad||^6 MAGP then amplifies the blow-up. Degenerate-data artefact, not
   an implementation bug: with brightness jitter + sigma=0.1 noise and f32
   the same recipe is stable for 15k+ steps.
-* Conditioning emerges slowly (outputs become class-distinct and land on
-  palette colors within a few thousand steps, full separation needs more) —
-  consistent with the reference recipe needing hundreds of epochs on CUB.
+* Conditioning emerges slowly: by 15k steps the outputs land on palette
+  colors and form class-distinct groups, but not the full 8-way mapping.
+  With RANDOM frozen text encoders the per-color sentence embeddings are
+  weakly separated, so the only clean conditioning signal is the class-BCE
+  head — consistent with the reference recipe needing real DAMSM encoders
+  and hundreds of epochs. Treat this script as a stability/diagnostic
+  harness (run with lower assert thresholds for CI-style checks).
 
 Runs on whatever device is attached (a few minutes on a TPU chip).
 """
