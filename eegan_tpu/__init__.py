@@ -22,6 +22,19 @@ Layout:
 
 import os as _os
 
+# Honor JAX_PLATFORMS even when the host environment pre-imported jax with a
+# different platform (e.g. a sitecustomize that pins the TPU): once jax is
+# imported, the env var alone is ignored, so re-assert it through the config
+# API. Lets `JAX_PLATFORMS=cpu python prepare_attributes.py ...` etc. run
+# host-side on a TPU VM without touching the chip.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax_p
+
+        _jax_p.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 # Persistent XLA compilation cache: compiles through this environment's
 # remote-compile tunnel run minutes-per-program; the cache turns warm starts
 # into seconds. Opt out with EEGAN_NO_COMPILE_CACHE=1.

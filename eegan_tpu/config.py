@@ -110,6 +110,9 @@ class RuntimeConfig:
     COMPUTE_DTYPE: str = "bfloat16"
     # Rematerialise generator blocks to trade FLOPs for HBM.
     REMAT: bool = False
+    # Use the fused Pallas DAMSM words-loss (custom VJP) in the train step.
+    # Takes effect on the TPU backend only; the XLA path is used elsewhere.
+    PALLAS_DAMSM: bool = True
     # Donate input buffers to the jitted train step.
     DONATE: bool = True
     # Host data-pipeline worker processes (0 = in-process).

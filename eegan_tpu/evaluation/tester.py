@@ -85,26 +85,31 @@ class Tester:
     def generate(self, g_params, attr_params, g_stats, out_dir: str,
                  sampling_nums: int = 30000, seed: int = 100,
                  compute_r_precision: bool = False,
-                 r_val: int = 100, clusters: int = 10) -> Dict[str, float]:
-        """Generate `sampling_nums` 256² images into out_dir; optionally score
-        R-precision along the way."""
-        mkdir_p(out_dir)
+                 r_val: int = 100, clusters: int = 10,
+                 saving_images: bool = True) -> Dict[str, float]:
+        """Generate `sampling_nums` 256² images, optionally scoring
+        R-precision along the way. With ``saving_images=False`` nothing is
+        written to disk (reference `--saving_image`, test.py:226-234) — an
+        R-precision-only sweep then skips 30k PNG encodes per epoch."""
         rng = np.random.default_rng([seed])
         hits: List[np.ndarray] = []
 
         # Background PNG writer so device generation never blocks on IO.
         q: "queue.Queue" = queue.Queue(maxsize=8)
+        wt = None
+        if saving_images:
+            mkdir_p(out_dir)
 
-        def writer():
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                imgs, names = item
-                save_img_results_one_by_one(imgs, names, out_dir)
+            def writer():
+                while True:
+                    item = q.get()
+                    if item is None:
+                        return
+                    imgs, names = item
+                    save_img_results_one_by_one(imgs, names, out_dir)
 
-        wt = threading.Thread(target=writer, daemon=True)
-        wt.start()
+            wt = threading.Thread(target=writer, daemon=True)
+            wt.start()
 
         produced = 0
         batch_idx = 0
@@ -116,10 +121,11 @@ class Tester:
                 jnp.asarray(batch["attrs"]), jnp.asarray(batch["attr_lens"]),
                 key)
             img256 = np.asarray(imgs[-1])
-            names = [f"{k.replace('/', '_')}_{batch_idx}_{j}"
-                     for j, k in enumerate(batch["keys"])]
             take = min(len(img256), sampling_nums - produced)
-            q.put((img256[:take], names[:take]))
+            if saving_images:
+                names = [f"{k.replace('/', '_')}_{batch_idx}_{j}"
+                         for j, k in enumerate(batch["keys"])]
+                q.put((img256[:take], names[:take]))
 
             if compute_r_precision:
                 hits.append(self._r_precision_batch(batch, img256, r_val, rng))
@@ -127,8 +133,9 @@ class Tester:
             produced += take
             batch_idx += 1
 
-        q.put(None)
-        wt.join()
+        if wt is not None:
+            q.put(None)
+            wt.join()
 
         out = {"generated": float(produced)}
         if compute_r_precision and hits:
@@ -189,7 +196,8 @@ class Tester:
                     restored["g_params"], restored["attr_params"],
                     restored["g_stats"], out_dir,
                     sampling_nums=sampling_nums, seed=epoch * 1000 + r,
-                    compute_r_precision=compute_r_precision)
+                    compute_r_precision=compute_r_precision,
+                    saving_images=saving_images)
                 results[(epoch, r)] = res
                 print(f"Epoch_{epoch}_{r}: {res}")
         return results

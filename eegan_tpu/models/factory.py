@@ -46,7 +46,8 @@ def build_models(config: Config, n_words: int) -> ModelBundle:
             ndf=config.GAN.DF_DIM, scale=s, disc_class=use_class,
             class_nums=config.TRAIN.CLASS_NUM, dtype=dt))
     return ModelBundle(
-        generator=Generator(ngf=config.GAN.GF_DIM, nz=config.GAN.Z_DIM, dtype=dt),
+        generator=Generator(ngf=config.GAN.GF_DIM, nz=config.GAN.Z_DIM,
+                            dtype=dt, remat=config.RUNTIME.REMAT),
         attr_enhance=AttrEnhance(ntf=config.TEXT.EMBEDDING_DIM, dtype=dt),
         discriminators=tuple(discs),
         text_encoder=TextEncoder(

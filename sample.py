@@ -95,7 +95,7 @@ def main():
     from eegan_tpu.config import apply_overrides, fresh_config
     from eegan_tpu.data.attributes import AttributeExtractor
     from eegan_tpu.data.datasets import (
-        TextOnlyDataset,
+        TextImageDataset,
         load_captions_pickle,
     )
     from eegan_tpu.models.factory import build_models
@@ -107,6 +107,7 @@ def main():
         mkdir_p,
         save_img_grid,
         save_img_results_one_by_one,
+        save_text_results,
     )
 
     config = fresh_config(args.cfg_file)
@@ -119,7 +120,7 @@ def main():
 
     # ---- gather captions + attributes -------------------------------
     if args.from_dataset:
-        dataset = TextOnlyDataset(config, split=args.split)
+        dataset = TextImageDataset(config, split=args.split)
         rng = np.random.default_rng([args.manualSeed])
         idxs = rng.integers(0, len(dataset), args.batch_size)
         samples = [dataset.sample(int(i), rng) for i in idxs]
@@ -129,6 +130,19 @@ def main():
         attr_lens = np.stack([s["attr_lens"] for s in samples])
         texts = [" ".join(ixtoword[int(w)] for w in c[:l])
                  for c, l in zip(caps, cap_lens)]
+
+        # Reference `sample.py:280-286`: dump the paired real images (grid +
+        # singles) and a caption/attribute text file for side-by-side eyeballing.
+        top = dataset.imsizes[-1]
+        real_imgs = np.stack([s[f"img{top}"] for s in samples])
+        real_dir = os.path.join(visual_dir, "real_images")
+        mkdir_p(real_dir)
+        save_img_results_one_by_one(
+            real_imgs, [f"cap_{i}" for i in range(len(real_imgs))], real_dir)
+        save_img_grid(real_imgs, os.path.join(real_dir, "real_images.png"))
+        save_text_results(caps, cap_lens, ixtoword,
+                          os.path.join(visual_dir, "dataset_example.txt"),
+                          attrs, attr_lens)
     else:
         if args.from_txt:
             with open(args.txt_file) as f:

@@ -31,7 +31,10 @@ def parse_args():
                         help="traverse sentences instead of images")
     parser.add_argument("--select_epochs", type=str, default="",
                         help="comma list or start:end:step; default 550:700:10")
-    parser.add_argument("--saving_image", action="store_true")
+    parser.add_argument("--saving_image", action="store_true",
+                        help="write generated PNGs (reference test.py:44); "
+                             "omit with --compare_sim for an R-precision-only "
+                             "sweep with no image IO")
     parser.add_argument("--compare_sim", action="store_true",
                         help="compute R-precision")
     parser.add_argument("--manualSeed", type=int, default=3407)
@@ -94,11 +97,14 @@ def main():
     epochs = [e for e in epochs if e in available] or available
     print(f"evaluating epochs: {epochs}")
 
+    if not args.saving_image and not args.compare_sim:
+        print("note: neither --saving_image nor --compare_sim given — "
+              "generating without scoring or writing (reference behaviour)")
     tester = Tester(config, models, frozen, dataset)
     results = tester.sweep(ckpt, epochs, args.repeat_times, gen_root,
                            sampling_nums=args.sampling_nums,
                            compute_r_precision=args.compare_sim,
-                           saving_images=args.saving_image or True)
+                           saving_images=args.saving_image)
     for (e, r), res in results.items():
         print(f"Epoch_{e}_{r}: {res}")
 
