@@ -24,7 +24,9 @@ FLOPs accounting: the per-step FLOP count comes from XLA's own cost model
 The north-star is vs_baseline >= 3.
 
 Env knobs: EEGAN_BENCH_BATCH (default 32 per chip), EEGAN_BENCH_PALLAS
-(default 1; 0 benches the pure-XLA words-loss path for A/B).
+(default 1; 0 benches the pure-XLA words-loss path for A/B),
+EEGAN_BENCH_REMAT (default 0; 1 checkpoints the generator blocks),
+EEGAN_BENCH_WINDOWS / EEGAN_BENCH_ITERS (timing shape).
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ A100_REFERENCE_MFU = 0.10  # documented assumption; see module docstring
 
 BATCH_PER_CHIP = int(os.environ.get("EEGAN_BENCH_BATCH", "32"))
 USE_PALLAS = os.environ.get("EEGAN_BENCH_PALLAS", "1") == "1"
+USE_REMAT = os.environ.get("EEGAN_BENCH_REMAT", "0") == "1"
 WINDOWS = int(os.environ.get("EEGAN_BENCH_WINDOWS", "4"))
 ITERS = int(os.environ.get("EEGAN_BENCH_ITERS", "15"))
 
@@ -62,6 +65,7 @@ def main():
     config.TRAIN.BATCH_SIZE = BATCH_PER_CHIP * n_dev
     config.RUNTIME.COMPUTE_DTYPE = "bfloat16"
     config.RUNTIME.PALLAS_DAMSM = USE_PALLAS
+    config.RUNTIME.REMAT = USE_REMAT
 
     mesh = make_mesh(f"data:{n_dev}")
     models = build_models(config, n_words=5450)  # CUB vocab size
@@ -124,6 +128,7 @@ def main():
         "a100_ref_est_imgs_per_sec": round(a100_ref_imgs, 1)
                                      if a100_ref_imgs else None,
         "pallas_damsm": USE_PALLAS,
+        "remat": USE_REMAT,
         "batch_per_chip": BATCH_PER_CHIP,
     }
     print(json.dumps(out))

@@ -79,6 +79,13 @@ class TrainConfig:
     CLASS_COE: float = 10.0
     SIM_COE: float = 0.05
 
+    # Guard rail for bf16 recipes (no reference counterpart): global-norm
+    # clip on discriminator gradients (both the hinge and the MAGP step).
+    # 0 disables. The learning probe found bf16 + MAGP's ||grad||^6 can blow
+    # up on degenerate batches; a loose clip (e.g. 100) stops the spiral
+    # without touching healthy dynamics (validate_learning.py findings).
+    D_GRAD_CLIP: float = 0.0
+
     SMOOTH: SmoothConfig = field(default_factory=SmoothConfig)
 
 

@@ -57,13 +57,29 @@ class DataPipeline:
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
                  num_workers: int = 0, shuffle: bool = True,
-                 drop_last: bool = True):
+                 drop_last: bool = True, process_index: int = None,
+                 process_count: int = None):
+        """``batch_size`` is GLOBAL. In a multi-host run each process loads
+        only its ``batch_size / process_count`` slice of every batch: the
+        shuffled index order is seeded identically on all hosts (Philox on
+        (seed, epoch)), so host p deterministically owns rows
+        [p*local, (p+1)*local) of each global batch — the host-side half of
+        GSPMD data parallelism over DCN (process args default to
+        `jax.process_index()/count()`, i.e. 0/1 in single-host runs)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        if batch_size % self.process_count:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{self.process_count} processes")
+        self.local_batch = batch_size // self.process_count
         self._pool = None
         if num_workers > 0:
             ctx = mp.get_context("fork")
@@ -86,8 +102,10 @@ class DataPipeline:
 
         use_batch = (hasattr(self.dataset, "sample_batch")
                      and getattr(self.dataset, "_decoded", None) is not None)
+        lo = self.process_index * self.local_batch
+        hi = lo + self.local_batch
         for start in range(0, len(order), self.batch_size):
-            idxs = order[start:start + self.batch_size]
+            idxs = order[start:start + self.batch_size][lo:hi]
             if use_batch:
                 # zero-IPC fast path: one native OpenMP call per batch
                 rngs = [np.random.default_rng([self.seed, epoch, int(i)])
@@ -112,11 +130,15 @@ def device_prefetch(iterator: Iterator[Dict[str, np.ndarray]], mesh,
                     depth: int = 2) -> Iterator[Dict[str, jax.Array]]:
     """Asynchronously device_put batches (mesh data-axis sharded) ahead of use."""
 
+    multihost = jax.process_count() > 1
+
     def put(batch):
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim))
+                sh = batch_sharding(mesh, v.ndim)
+                out[k] = (jax.make_array_from_process_local_data(sh, v)
+                          if multihost else jax.device_put(v, sh))
             else:
                 out[k] = v
         return out

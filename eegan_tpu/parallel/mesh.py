@@ -74,10 +74,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays on the mesh, batch-sharded on dim 0."""
+    """Place a pytree of host arrays on the mesh, batch-sharded on dim 0.
+
+    Single-host: a plain sharded device_put. Multi-host (jax.distributed
+    initialised): each process holds only its slice of the global batch
+    (`DataPipeline` per-host sharding), so assemble the global array from
+    process-local shards — the GSPMD train step then sees one logical array
+    spanning the DCN-connected mesh."""
+    multihost = jax.process_count() > 1
 
     def _put(x):
         x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        sharding = batch_sharding(mesh, x.ndim)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)

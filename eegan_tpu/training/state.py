@@ -44,6 +44,10 @@ def make_optimizers(config: Config):
     t = config.TRAIN
     g_tx = optax.adam(t.GENERATOR_LR, b1=t.B1, b2=t.B2, eps=1e-8)
     d_tx = optax.adam(t.DISCRIMINATOR_LR, b1=t.B1, b2=t.B2, eps=1e-8)
+    if t.D_GRAD_CLIP > 0:
+        # bf16 guard rail: cap the D grad global norm before Adam — the
+        # ||grad||^6 MAGP can spiral on degenerate batches (config.py note).
+        d_tx = optax.chain(optax.clip_by_global_norm(t.D_GRAD_CLIP), d_tx)
     return g_tx, d_tx
 
 

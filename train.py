@@ -57,6 +57,10 @@ def parse_args():
     parser.add_argument("--fid_stats", type=str, default="",
                         help="dataset mu/sigma .npz (or real-image folder)"
                              " for overlapped FID")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize before "
+                             "device use (TPU-pod auto-discovery, or "
+                             "EEGAN_COORDINATOR/NUM_PROCESSES/PROCESS_ID)")
     parser.add_argument("--set", dest="overrides", action="append",
                         default=[], metavar="KEY=VALUE",
                         help="config override, e.g. --set GAN.GF_DIM=16")
@@ -65,6 +69,11 @@ def parse_args():
 
 def main():
     args = parse_args()
+
+    if args.distributed:
+        from eegan_tpu.parallel.distributed import initialize
+
+        initialize()
 
     from eegan_tpu.config import apply_overrides, fresh_config
 

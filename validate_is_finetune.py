@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Validate the in-framework Inception-Score pipeline end to end.
+
+The reference scores IS with StackGAN's fine-tuned Inception checkpoint,
+which it cannot produce (`metrics/IS_TF/inception_score.py:41-51`); our
+`evaluation/inception_finetune.py` trains that classifier in-framework.
+Round 1 only smoke-tested the trainer on synthetic noise (VERDICT r1 weak
+#8 / next-round #10). This script provides the evidence on a structured
+task with a known answer:
+
+  1. fine-tune the IS classifier on a K-color dataset (class = color);
+     criterion: training accuracy >= 0.9 — the classifier actually learns;
+  2. score two folders with `InceptionScorer` on that checkpoint:
+       "good"  = one solid-color image per class, repeated (confident,
+                 diverse predictions -> IS should approach K);
+       "noise" = uniform noise images (collapsed marginal -> IS near 1);
+     criterion: IS(good) >= 2 * IS(noise).
+
+Runs on the attached device in a few minutes. Results recorded in PERF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+
+from validate_learning import PALETTE, ColorDataset
+
+
+def main(steps: int = 150, batch: int = 16):
+    from PIL import Image
+
+    from eegan_tpu.config import Config
+    from eegan_tpu.data.pipeline import DataPipeline
+    from eegan_tpu.evaluation.inception_finetune import (
+        build_is_model,
+        make_finetune_step,
+    )
+    from eegan_tpu.evaluation.inception_score import InceptionScorer
+    from eegan_tpu.parallel.mesh import make_mesh, shard_batch
+
+    import jax
+
+    k = len(PALETTE)
+    c = Config()
+    c.TRAIN.BATCH_SIZE = batch
+    c.TRAIN.CLASS_NUM = k
+    c.RUNTIME.COMPUTE_DTYPE = "bfloat16"
+
+    mesh = make_mesh("data:-1")
+    ds = ColorDataset(c)
+    model = build_is_model(c)
+    step_fn, init = make_finetune_step(c, model, mesh, lr=3e-4)
+    variables, opt_state = init(jax.random.PRNGKey(0))
+
+    pipe = DataPipeline(ds, batch, seed=0, num_workers=0)
+    pool = []
+    for b in pipe.epoch(1):
+        pool.append(shard_batch(b, mesh))
+        if len(pool) == 8:
+            break
+
+    rng = jax.random.PRNGKey(1)
+    accs = []
+    for done in range(1, steps + 1):
+        rng, sub = jax.random.split(rng)
+        variables, opt_state, metrics = step_fn(variables, opt_state,
+                                                pool[done % len(pool)], sub)
+        accs.append(float(metrics["is_finetune/acc"]))
+        if done % 25 == 0:
+            print(f"step {done}: loss={float(metrics['is_finetune/loss']):.3f} "
+                  f"acc={accs[-1]:.3f}")
+    final_acc = float(np.mean(accs[-10:]))
+    print(f"final train accuracy (last 10 steps): {final_acc:.3f}")
+
+    # ---- score a diverse/confident folder vs a noise folder ------------
+    rngn = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as tmp:
+        good, noise = os.path.join(tmp, "good"), os.path.join(tmp, "noise")
+        os.makedirs(good), os.makedirs(noise)
+        for i in range(64):
+            img = (PALETTE[i % k][None, None] * (1.0 - 0.2 * rngn.random())
+                   + rngn.normal(0, 0.1, (64, 64, 3)))
+            arr = ((np.clip(img, -1, 1) + 1) * 127.5).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(good, f"{i}.png"))
+            arr = rngn.randint(0, 256, (64, 64, 3), np.uint8)
+            Image.fromarray(arr).save(os.path.join(noise, f"{i}.png"))
+
+        scorer = InceptionScorer(variables=variables, num_classes=k + 1,
+                                 batch_size=16)
+        is_good = scorer.score_folder(good, splits=4, max_images=64)
+        is_noise = scorer.score_folder(noise, splits=4, max_images=64)
+    print(f"IS(good)={is_good[0]:.3f}±{is_good[1]:.3f}  "
+          f"IS(noise)={is_noise[0]:.3f}±{is_noise[1]:.3f}")
+
+    ok = final_acc >= 0.9 and is_good[0] >= 2 * is_noise[0]
+    print(json.dumps({"metric": "is_finetune_validation",
+                      "value": round(is_good[0] / max(is_noise[0], 1e-6), 3),
+                      "unit": "IS(good)/IS(noise)",
+                      "vs_baseline": round(final_acc, 3)}))
+    assert ok, (final_acc, is_good, is_noise)
+    print("IS FINETUNE VALIDATION PASSED")
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(steps=int(sys.argv[1]) if len(sys.argv) > 1 else 150)

@@ -7,28 +7,31 @@ implementation of the hinge + class-BCE + MAGP training dynamics must drive
 the generator to emit the right color for each caption within a few
 thousand steps (the generator only has to learn a constant per condition).
 
-Pass criterion: after training, for >= 80% of classes the mean RGB of the
-generated image is nearest to its own class color.
+Pipeline (mirrors the reference's real recipe end to end):
+  1. DAMSM-pretrain the text BiLSTM + Inception image encoder on the color
+     corpus (the reference consumes AttnGAN checkpoints; round 1 ran this
+     probe with RANDOM frozen encoders, which left class-BCE as the only
+     conditioning signal — the exact cause of its partial separation).
+  2. Adversarially train G/D against the frozen pretrained encoders with the
+     DAMSM similarity terms on (SIM_COE as in shells/train_cub.sh).
+  3. Probe: generate one image per class caption; a class counts as learned
+     when the mean RGB of its generation is nearest its own palette color.
 
-Findings so far (one v5e chip):
-* bf16 + near-noiseless solid colors diverges after ~2k steps — the patch
-  discriminator saturates on the trivially separable manifold and the
-  ||grad||^6 MAGP then amplifies the blow-up. Degenerate-data artefact, not
-  an implementation bug: with brightness jitter + sigma=0.1 noise and f32
-  the same recipe is stable for 15k+ steps.
-* Conditioning emerges slowly: by 15k steps the outputs land on palette
-  colors and form class-distinct groups, but not the full 8-way mapping.
-  With RANDOM frozen text encoders the per-color sentence embeddings are
-  weakly separated, so the only clean conditioning signal is the class-BCE
-  head — consistent with the reference recipe needing real DAMSM encoders
-  and hundreds of epochs. Treat this script as a stability/diagnostic
-  harness (run with lower assert thresholds for CI-style checks).
+Pass criterion: >= 80% of classes learned.
 
-Runs on whatever device is attached (a few minutes on a TPU chip).
+Findings (one v5e chip):
+  * r1 (random encoders, 15k steps): stable but only partial separation.
+  * r2 (this recipe): run pending — results recorded below when captured.
+  * bf16 + near-noiseless solid colors can still diverge (saturated patch D
+    + ||grad||^6 MAGP); --clip 100 (TRAIN.D_GRAD_CLIP) stops the spiral.
+
+Usage: validate_learning.py [gan_steps] [--dtype bfloat16] [--clip 100]
+       [--damsm_steps N]. Runs on whatever device is attached.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 
 import numpy as np
@@ -90,14 +93,16 @@ class ColorDataset:
         return out
 
 
-def main(steps: int = 6000, batch: int = 32):
+def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
+         clip: float = 0.0, damsm_steps: int = 300):
     import jax
     import jax.numpy as jnp
 
     from eegan_tpu.config import Config
-    from eegan_tpu.data.pipeline import DataPipeline, device_prefetch
+    from eegan_tpu.data.pipeline import DataPipeline
     from eegan_tpu.models.factory import build_models
-    from eegan_tpu.parallel.mesh import make_mesh
+    from eegan_tpu.parallel.mesh import make_mesh, shard_batch
+    from eegan_tpu.training.damsm_trainer import make_damsm_train_step
     from eegan_tpu.training.state import create_train_state
     from eegan_tpu.training.steps import make_sample_step, make_train_step
 
@@ -106,29 +111,58 @@ def main(steps: int = 6000, batch: int = 32):
     c.GAN.DF_DIM = 16
     c.TRAIN.BATCH_SIZE = batch
     c.TRAIN.CLASS_NUM = len(PALETTE)
-    c.TRAIN.SIM_COE = 0.0  # encoders are random; drop the DAMSM terms
+    c.TRAIN.SIM_COE = 0.25  # shells/train_cub.sh recipe
     c.TRAIN.CLASS_COE = 2.0
-    c.RUNTIME.COMPUTE_DTYPE = "float32"
+    c.TRAIN.D_GRAD_CLIP = clip
+    c.RUNTIME.COMPUTE_DTYPE = dtype
 
     mesh = make_mesh("data:-1")
     ds = ColorDataset(c)
     models = build_models(c, n_words=ds.n_words)
     state, frozen = create_train_state(c, models, jax.random.PRNGKey(0))
-    step = make_train_step(c, models, mesh=mesh, donate=True)
-    sample = make_sample_step(c, models)
     pipe = DataPipeline(ds, batch, seed=0, num_workers=0)
 
     # The dev tunnel gives ~50MB/s host->device, so per-step batch upload
     # would dominate. The probe's data distribution cycles, so pre-upload a
     # fixed pool of batches once and train from device-resident data.
-    from eegan_tpu.parallel.mesh import shard_batch
-
     pool = []
     for i, b in enumerate(pipe.epoch(1)):
         pool.append(shard_batch(b, mesh))
         if len(pool) == 12:
             break
 
+    # ---- phase 1: DAMSM-pretrain the encoders (reference consumes AttnGAN
+    # checkpoints; this closes the loop in-framework) --------------------
+    damsm_step, damsm_init = make_damsm_train_step(c, models, mesh)
+    text_vars, image_vars = frozen.text_vars, frozen.image_vars
+    opt_states = damsm_init(text_vars, image_vars)
+    rng = jax.random.PRNGKey(11)
+    for done in range(1, damsm_steps + 1):
+        rng, sub = jax.random.split(rng)
+        text_vars, image_vars, opt_states, dm = damsm_step(
+            text_vars, image_vars, opt_states, pool[done % len(pool)], sub)
+        if done % 100 == 0:
+            print(f"damsm step {done}: total={float(dm['damsm/total']):.3f}")
+    from eegan_tpu.training.state import FrozenEncoders
+
+    frozen = FrozenEncoders(text_vars=text_vars, image_vars=image_vars)
+
+    # diagnostic: per-class sentence-embedding separation after pretrain
+    k = len(PALETTE)
+    t = c.TEXT
+    caps = np.zeros((k, t.WORDS_NUM), np.int32)
+    caps[:, 0] = np.arange(1, k + 1)
+    _, sent = models.text_encoder.apply(frozen.text_vars, jnp.asarray(caps),
+                                        jnp.ones(k, jnp.int32), train=False)
+    sent_n = np.asarray(sent)
+    sent_n = sent_n / np.linalg.norm(sent_n, axis=1, keepdims=True)
+    off = (sent_n @ sent_n.T)[~np.eye(k, dtype=bool)]
+    print(f"sentence-embedding separation: max off-diag cosine "
+          f"{off.max():.3f} (want << 1)")
+
+    # ---- phase 2: adversarial training vs the frozen encoders ----------
+    step = make_train_step(c, models, mesh=mesh, donate=True)
+    sample = make_sample_step(c, models)
     rng = jax.random.PRNGKey(1)
     for done in range(1, steps + 1):
         rng, sub = jax.random.split(rng)
@@ -138,11 +172,7 @@ def main(steps: int = 6000, batch: int = 32):
                   f"D256 real={float(metrics['errD_2/real_sent']):.3f} "
                   f"fake={float(metrics['errD_2/fake_sent']):.3f}")
 
-    # probe: one caption per class
-    k = len(PALETTE)
-    t = c.TEXT
-    caps = np.zeros((k, t.WORDS_NUM), np.int32)
-    caps[:, 0] = np.arange(1, k + 1)
+    # ---- phase 3: probe one caption per class --------------------------
     attrs = np.zeros((k, t.MAX_ATTR_NUM, t.MAX_ATTR_LEN), np.int32)
     attrs[:, :, 0] = np.arange(1, k + 1)[:, None]
     imgs = sample(state.g_params, state.attr_params, state.g_stats, frozen,
@@ -164,6 +194,12 @@ def main(steps: int = 6000, batch: int = 32):
 
 
 if __name__ == "__main__":
-    import sys
-
-    main(steps=int(sys.argv[1]) if len(sys.argv) > 1 else 6000)
+    p = argparse.ArgumentParser()
+    p.add_argument("steps", nargs="?", type=int, default=3000)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--clip", type=float, default=0.0)
+    p.add_argument("--damsm_steps", type=int, default=300)
+    a = p.parse_args()
+    main(steps=a.steps, batch=a.batch, dtype=a.dtype, clip=a.clip,
+         damsm_steps=a.damsm_steps)
