@@ -26,6 +26,10 @@ The north-star is vs_baseline >= 3.
 Env knobs: EEGAN_BENCH_BATCH (default 32 per chip), EEGAN_BENCH_PALLAS
 (default 1; 0 benches the pure-XLA words-loss path for A/B),
 EEGAN_BENCH_REMAT (default 0; 1 checkpoints the generator blocks),
+EEGAN_BENCH_SCAN (default 8; K train steps per dispatch via lax.scan —
+the production RUNTIME.STEPS_PER_DISPATCH path. 1 = per-step dispatch,
+which through the dev-tunnel host adds a round-trip per step; the round-1
+4.7k-vs-7.2k discrepancy was exactly that overhead),
 EEGAN_BENCH_WINDOWS / EEGAN_BENCH_ITERS (timing shape).
 """
 
@@ -43,6 +47,7 @@ A100_REFERENCE_MFU = 0.10  # documented assumption; see module docstring
 BATCH_PER_CHIP = int(os.environ.get("EEGAN_BENCH_BATCH", "32"))
 USE_PALLAS = os.environ.get("EEGAN_BENCH_PALLAS", "1") == "1"
 USE_REMAT = os.environ.get("EEGAN_BENCH_REMAT", "0") == "1"
+SCAN_K = int(os.environ.get("EEGAN_BENCH_SCAN", "8"))
 WINDOWS = int(os.environ.get("EEGAN_BENCH_WINDOWS", "4"))
 ITERS = int(os.environ.get("EEGAN_BENCH_ITERS", "15"))
 
@@ -53,9 +58,13 @@ def main():
     from eegan_tpu.config import Config
     from eegan_tpu.data.synthetic import synthetic_batch
     from eegan_tpu.models.factory import build_models
-    from eegan_tpu.parallel.mesh import make_mesh, shard_batch
+    from eegan_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+        shard_stacked_batch,
+    )
     from eegan_tpu.training.state import create_train_state
-    from eegan_tpu.training.steps import make_train_step
+    from eegan_tpu.training.steps import make_multi_train_step, make_train_step
 
     n_dev = len(jax.devices())
     config = Config()
@@ -77,12 +86,28 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     # AOT compile so XLA's cost model is queryable for the exact program.
+    # FLOPs always come from the SINGLE-step program (cost analysis of a
+    # scanned loop body is trip-count-ambiguous); timing uses the scan
+    # program when EEGAN_BENCH_SCAN > 1.
     t0 = time.perf_counter()
     compiled = step.lower(state, frozen, batch, rng).compile()
-    print(f"compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"compile(step): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, list) else cost
     step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    if SCAN_K > 1:
+        import numpy as np
+
+        host = synthetic_batch(config, config.TRAIN.BATCH_SIZE, n_words=5450)
+        stacked = shard_stacked_batch(
+            {k: np.stack([host[k]] * SCAN_K) for k in host}, mesh)
+        multi = make_multi_train_step(config, models, mesh=mesh, donate=True)
+        t0 = time.perf_counter()
+        compiled = multi.lower(state, frozen, stacked, rng).compile()
+        print(f"compile(scan{SCAN_K}): {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        batch = stacked
 
     # warmup
     for _ in range(5):
@@ -91,6 +116,8 @@ def main():
 
     # Timed windows. The headline is total time over ALL windows; per-window
     # numbers go to stderr so stalls are visible, not filtered.
+    scan_k = SCAN_K if SCAN_K > 1 else 1
+    imgs_per_dispatch = config.TRAIN.BATCH_SIZE * scan_k
     window_dts = []
     for wi in range(WINDOWS):
         t0 = time.perf_counter()
@@ -99,17 +126,16 @@ def main():
         jax.block_until_ready(metrics)
         dt = time.perf_counter() - t0
         window_dts.append(dt)
-        print(f"window {wi}: {ITERS * config.TRAIN.BATCH_SIZE / dt:.1f} img/s",
+        print(f"window {wi}: {ITERS * imgs_per_dispatch / dt:.1f} img/s",
               file=sys.stderr)
 
-    total_imgs = WINDOWS * ITERS * config.TRAIN.BATCH_SIZE
+    total_imgs = WINDOWS * ITERS * imgs_per_dispatch
     total_dt = sum(window_dts)
     imgs_per_sec = total_imgs / total_dt
     per_chip = imgs_per_sec / n_dev
-    best_per_chip = (ITERS * config.TRAIN.BATCH_SIZE
-                     / min(window_dts) / n_dev)
+    best_per_chip = ITERS * imgs_per_dispatch / min(window_dts) / n_dev
 
-    steps_per_sec = WINDOWS * ITERS / total_dt
+    steps_per_sec = WINDOWS * ITERS * scan_k / total_dt
     mfu = (step_flops * steps_per_sec / n_dev / TPU_V5E_PEAK_FLOPS
            if step_flops else None)
     flops_per_img = step_flops / config.TRAIN.BATCH_SIZE if step_flops else None
@@ -130,6 +156,7 @@ def main():
         "pallas_damsm": USE_PALLAS,
         "remat": USE_REMAT,
         "batch_per_chip": BATCH_PER_CHIP,
+        "steps_per_dispatch": scan_k,
     }
     print(json.dumps(out))
 

@@ -122,6 +122,9 @@ class RuntimeConfig:
     PALLAS_DAMSM: bool = True
     # Donate input buffers to the jitted train step.
     DONATE: bool = True
+    # Train steps folded into one compiled dispatch via lax.scan (>1 hides
+    # host round-trip latency; metrics/logging granularity stays per-step).
+    STEPS_PER_DISPATCH: int = 1
     # Host data-pipeline worker processes (0 = in-process).
     DATA_WORKERS: int = 8
     # Batches to prefetch onto device.

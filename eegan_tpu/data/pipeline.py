@@ -25,7 +25,7 @@ from typing import Dict, Iterator
 import jax
 import numpy as np
 
-from eegan_tpu.parallel.mesh import batch_sharding
+from eegan_tpu.parallel.mesh import batch_sharding, stacked_batch_sharding
 
 _WORKER_DATASET = None
 
@@ -126,9 +126,29 @@ class DataPipeline:
             self._pool = None
 
 
+def group_batches(iterator: Iterator[Dict[str, np.ndarray]],
+                  k: int) -> Iterator[Dict[str, np.ndarray]]:
+    """Stack consecutive batches into (K, B, ...) leaves for the multi-step
+    scan driver (`make_multi_train_step`). The epoch tail yields a smaller
+    stack (one extra compile for that shape, cached across epochs)."""
+    group = []
+    for batch in iterator:
+        group.append(batch)
+        if len(group) == k:
+            yield {key: np.stack([b[key] for b in group]) for key in group[0]}
+            group = []
+    if group:
+        yield {key: np.stack([b[key] for b in group]) for key in group[0]}
+
+
 def device_prefetch(iterator: Iterator[Dict[str, np.ndarray]], mesh,
-                    depth: int = 2) -> Iterator[Dict[str, jax.Array]]:
-    """Asynchronously device_put batches (mesh data-axis sharded) ahead of use."""
+                    depth: int = 2,
+                    stacked: bool = False) -> Iterator[Dict[str, jax.Array]]:
+    """Asynchronously device_put batches (mesh data-axis sharded) ahead of use.
+
+    With ``stacked=True`` leaves are (K, B, ...) stacks from
+    :func:`group_batches`: the leading step dim is replicated and dim 1
+    (batch) is sharded."""
 
     multihost = jax.process_count() > 1
 
@@ -136,7 +156,8 @@ def device_prefetch(iterator: Iterator[Dict[str, np.ndarray]], mesh,
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                sh = batch_sharding(mesh, v.ndim)
+                sh = (stacked_batch_sharding(mesh, v.ndim) if stacked
+                      else batch_sharding(mesh, v.ndim))
                 out[k] = (jax.make_array_from_process_local_data(sh, v)
                           if multihost else jax.device_put(v, sh))
             else:

@@ -69,6 +69,23 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def stacked_batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """(K, B, ...) stacks for the multi-step scan driver: steps replicated,
+    batch dim sharded."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+
+def shard_stacked_batch(batch, mesh: Mesh):
+    """Place a K-stacked batch pytree (leaves (K, B, ...)) for
+    `make_multi_train_step`."""
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, stacked_batch_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -69,9 +69,10 @@ def encode_text_bundle(models: ModelBundle, frozen: FrozenEncoders,
     return words, sent, unpair_sent, attrs_emb
 
 
-def make_train_step(config: Config, models: ModelBundle,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
-    """Build the jitted train step: (state, frozen, batch, rng) -> (state, metrics)."""
+def build_train_step_fn(config: Config, models: ModelBundle):
+    """The raw (unjitted) train step: (state, frozen, batch, rng) ->
+    (state, metrics). Jitted directly by `make_train_step`, or scanned K
+    times per dispatch by `make_multi_train_step`."""
     g_tx, d_tx = make_optimizers(config)
     n_scales = len(models.scales)
     # Fused Pallas words-loss (custom VJP) on TPU; XLA path elsewhere
@@ -259,6 +260,13 @@ def make_train_step(config: Config, models: ModelBundle,
         )
         return new_state, metrics
 
+    return train_step
+
+
+def make_train_step(config: Config, models: ModelBundle,
+                    mesh: Optional[Mesh] = None, donate: bool = True):
+    """Build the jitted train step: (state, frozen, batch, rng) -> (state, metrics)."""
+    train_step = build_train_step_fn(config, models)
     donate_args = (0,) if donate else ()
     if mesh is not None:
         repl = NamedSharding(mesh, P())
@@ -270,6 +278,45 @@ def make_train_step(config: Config, models: ModelBundle,
             out_shardings=(repl, repl),
         )
     return jax.jit(train_step, donate_argnums=donate_args)
+
+
+def make_multi_train_step(config: Config, models: ModelBundle,
+                          mesh: Optional[Mesh] = None, donate: bool = True):
+    """K train steps per dispatch via `lax.scan` — one host round-trip and
+    one compiled program for a whole chunk of steps.
+
+    The reference dispatches python-side per iteration (`train.py:162`);
+    under a device tunnel / slow host that round-trip gates throughput.
+    Takes a K-stacked batch pytree (leaves (K, B, ...), batch dim sharded on
+    the mesh ``data`` axis) and returns the state after K steps plus
+    per-step stacked metrics. The scan body is the SAME train_step (XLA
+    compiles it once), so numerics are identical to K sequential dispatches.
+    """
+    train_step = build_train_step_fn(config, models)
+
+    def multi_step(state, frozen, stacked_batch, rng):
+        k = jax.tree_util.tree_leaves(stacked_batch)[0].shape[0]
+        rngs = jax.random.split(rng, k)
+
+        def body(carry, xs):
+            batch, step_rng = xs
+            new_state, metrics = train_step(carry, frozen, batch, step_rng)
+            return new_state, metrics
+
+        state, metrics = jax.lax.scan(body, state, (stacked_batch, rngs))
+        return state, metrics
+
+    donate_args = (0,) if donate else ()
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P(None, DATA_AXIS))
+        return jax.jit(
+            multi_step,
+            donate_argnums=donate_args,
+            in_shardings=(repl, repl, bsh, repl),
+            out_shardings=(repl, repl),
+        )
+    return jax.jit(multi_step, donate_argnums=donate_args)
 
 
 def make_sample_step(config: Config, models: ModelBundle,

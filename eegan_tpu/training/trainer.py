@@ -22,13 +22,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from eegan_tpu.config import Config
-from eegan_tpu.data.pipeline import DataPipeline, device_prefetch
+from eegan_tpu.data.pipeline import (
+    DataPipeline,
+    device_prefetch,
+    group_batches,
+)
 from eegan_tpu.models.factory import ModelBundle, build_models
 from eegan_tpu.parallel.mesh import make_mesh
 from eegan_tpu.training.checkpoint import CheckpointManager
 from eegan_tpu.training.logging import MetricWriter, StepTimer
 from eegan_tpu.training.state import FrozenEncoders, create_train_state
-from eegan_tpu.training.steps import make_sample_step, make_train_step
+from eegan_tpu.training.steps import (
+    make_multi_train_step,
+    make_sample_step,
+    make_train_step,
+)
 from eegan_tpu.utils.images import (
     mkdir_p,
     save_img_results,
@@ -107,6 +115,13 @@ class Trainer:
 
         self.train_step = make_train_step(config, self.models, mesh=self.mesh,
                                           donate=config.RUNTIME.DONATE)
+        # K steps per compiled dispatch (lax.scan over the same step) hides
+        # the host round-trip; numerics identical to K single dispatches.
+        self.steps_per_dispatch = max(1, config.RUNTIME.STEPS_PER_DISPATCH)
+        self.multi_train_step = (
+            make_multi_train_step(config, self.models, mesh=self.mesh,
+                                  donate=config.RUNTIME.DONATE)
+            if self.steps_per_dispatch > 1 else None)
         self.sample_step = make_sample_step(config, self.models, mesh=self.mesh)
 
         # ---- bookkeeping --------------------------------------------
@@ -184,19 +199,39 @@ class Trainer:
         profile_at = 2 if profile_steps > 0 else -1
         steps_done = 0
 
+        # Profiling a K-step dispatch would trace one giant program; fall
+        # back to per-step dispatch when a trace was requested.
+        k = 1 if profile_steps > 0 else self.steps_per_dispatch
+        log_every = max(1, UPDATE_INTERVAL // k)
+
         for epoch in range(self.start_epoch, end_epoch):
-            it = device_prefetch(self.pipeline.epoch(epoch), self.mesh)
+            src = self.pipeline.epoch(epoch)
+            if max_iters_per_epoch is not None:
+                import itertools
+
+                src = itertools.islice(src, max_iters_per_epoch)
+            if k > 1:
+                it = device_prefetch(group_batches(src, k), self.mesh,
+                                     stacked=True)
+            else:
+                it = device_prefetch(src, self.mesh)
             for i, batch in enumerate(it):
-                if max_iters_per_epoch is not None and i >= max_iters_per_epoch:
-                    break
                 if steps_done == profile_at:
                     jax.profiler.start_trace(
                         os.path.join(self.output_dir, "profile"))
                 step_rng = jax.random.fold_in(
                     base_rng, int(self.state.step))
-                self.state, metrics = self.train_step(
-                    self.state, self.frozen, batch, step_rng)
-                self.timer.tick()
+                if k > 1:
+                    self.state, metrics = self.multi_train_step(
+                        self.state, self.frozen, batch, step_rng)
+                    n_sub = next(iter(metrics.values())).shape[0]
+                    metrics = {key: v[-1] for key, v in metrics.items()}
+                else:
+                    self.state, metrics = self.train_step(
+                        self.state, self.frozen, batch, step_rng)
+                    n_sub = 1
+                for _ in range(n_sub):
+                    self.timer.tick()
                 steps_done += 1
                 if profile_at >= 0 and steps_done == profile_at + profile_steps:
                     jax.tree_util.tree_map(
@@ -204,9 +239,9 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profile_at = -1
 
-                if i % UPDATE_INTERVAL == 0:
+                if i % log_every == 0:
                     self.iters_cnt += 1
-                    scalars = {k: float(v) for k, v in metrics.items()}
+                    scalars = {key: float(v) for key, v in metrics.items()}
                     ips = self.timer.images_per_sec
                     if ips is not None:
                         scalars["perf/images_per_sec"] = ips

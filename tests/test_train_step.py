@@ -107,3 +107,45 @@ def test_global_batchnorm_matches_single_device(setup):
                          jax.device_put(sent, NamedSharding(mesh, P("data"))))
     np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_multi_step_matches_sequential(setup):
+    """K scanned steps per dispatch == K sequential dispatches, numerically."""
+    from eegan_tpu.training.steps import make_multi_train_step
+
+    c, models, state, frozen = setup
+    mesh = make_mesh("data:8")
+    step_fn = make_train_step(c, models, mesh=mesh, donate=False)
+    multi_fn = make_multi_train_step(c, models, mesh=mesh, donate=False)
+
+    from eegan_tpu.parallel.mesh import shard_stacked_batch
+
+    b0 = synthetic_batch(c, 8, seed=5, n_words=N_WORDS)
+    b1 = synthetic_batch(c, 8, seed=6, n_words=N_WORDS)
+    stacked = shard_stacked_batch(
+        {k: np.stack([b0[k], b1[k]]) for k in b0}, mesh)
+
+    rng = jax.random.PRNGKey(9)
+    ms, metrics_m = multi_fn(state, frozen, stacked, rng)
+
+    rngs = jax.random.split(rng, 2)
+    s1, m0 = step_fn(state, frozen, shard_batch(b0, mesh), rngs[0])
+    s2, m1 = step_fn(s1, frozen, shard_batch(b1, mesh), rngs[1])
+
+    assert int(ms.step) == 2
+    np.testing.assert_allclose(float(metrics_m["errG/total"][0]),
+                               float(m0["errG/total"]), rtol=1e-5)
+    np.testing.assert_allclose(float(metrics_m["errG/total"][1]),
+                               float(m1["errG/total"]), rtol=1e-5)
+    # Param-level check: the scan body and the standalone step are
+    # separately compiled XLA programs, and Adam's m/sqrt(v) ratio is
+    # 0/0-sensitive in the first steps — a 1-ulp grad difference on a
+    # sign-borderline element legitimately moves that element by O(lr).
+    # The functional-equivalence proof is the loss-trajectory match above
+    # (step 2's losses are computed FROM step 1's params); here we only
+    # bound the drift by the optimizer increment scale (G lr = 1e-4,
+    # 2 steps -> 2.5e-4; observed max ~2e-5).
+    for a, b in zip(jax.tree_util.tree_leaves(ms.g_params),
+                    jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2.5e-4)

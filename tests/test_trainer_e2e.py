@@ -61,3 +61,23 @@ def test_train_checkpoint_resume(config, tmp_path_factory):
     assert trainer2.start_epoch == 2
     assert int(trainer2.state.step) == step_after
     trainer2.close()
+
+
+def test_train_steps_per_dispatch(config, tmp_path_factory):
+    """K=2 scanned steps per dispatch: same epoch = 2 steps, with an odd
+    tail exercised (3 iters -> one full stack + one 1-step tail)."""
+    import dataclasses
+
+    c = dataclasses.replace(config)
+    c.RUNTIME = dataclasses.replace(config.RUNTIME, STEPS_PER_DISPATCH=2)
+    out = str(tmp_path_factory.mktemp("run_k2"))
+    dataset = SyntheticDataset(c, size=24, n_words=40)
+
+    trainer = Trainer(c, out, dataset=dataset, seed=0)
+    trainer.train(max_epochs=1, max_iters_per_epoch=3)
+    assert int(trainer.state.step) == 3
+    metrics_path = os.path.join(out, "writer", "metrics.jsonl")
+    with open(metrics_path) as f:
+        records = [json.loads(line) for line in f]
+    assert records and "errG/total" in records[0]
+    trainer.close()
