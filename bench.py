@@ -4,33 +4,44 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Protocol: bird recipe (GF=DF=32, batch 32, 3-scale pyramid, USE_CLASS on,
-bf16 compute, fused Pallas DAMSM words-loss) on whatever devices are visible
-(the driver runs it on one real TPU chip). The headline number is the
-TOTAL-time throughput over every timed step after warmup — no best-of-window
-filtering (VERDICT r1 weak #1). Per-window times are printed to stderr so
-transient device-tunnel stalls are visible instead of silently averaged or
-silently dropped.
+bf16 compute, fused Pallas DAMSM words-loss, 8 scanned steps per dispatch)
+on whatever devices are visible (the driver runs it on one real TPU chip).
+
+Timing methodology (round-2 finding, see bench_truth.py / PERF.md):
+on this tunnelled platform `jax.block_until_ready` is NOT an execution
+barrier — async dispatches are acknowledged at the host->device enqueue
+rate (~5 ms each), which made round 1's numbers (4.7k-7.4k img/s) and the
+naive scan numbers (48k-232k "img/s", up to 317x chip peak — physically
+impossible) pure dispatch-rate artifacts. The only trustworthy
+synchronisation is fetching a VALUE computed by the program (the value
+cannot exist before execution). Every timed window here therefore ends
+with a scalar fetch from the last step's metrics, so window time includes
+the full execution drain. Overlap between enqueue and execution inside a
+window is legitimate pipelining and is kept.
 
 FLOPs accounting: the per-step FLOP count comes from XLA's own cost model
-(`compiled.cost_analysis()['flops']`) — nothing hand-derived. From it:
-  * ``mfu``: measured FLOP/s ÷ chip peak (TPU v5e ≈ 197 TFLOP/s bf16).
+on the single-step program (`compiled.cost_analysis()['flops']`). From it:
+  * ``mfu``: measured FLOP/s ÷ nominal chip peak (TPU v5e ≈ 197 TFLOP/s
+    bf16).
+  * ``calibrated_tflops``: what THIS backend actually sustains on a chain
+    of 8192³ bf16 matmuls, measured the same synchronous way — on a shared
+    or emulated tunnel this is far below nominal peak; `mfu_vs_calibrated`
+    rates the program against that achievable ceiling instead.
   * ``vs_baseline``: measured img/s ÷ an A100 *estimate* for the reference
-    PyTorch implementation: same per-image FLOPs at 312 TFLOP/s bf16 peak and
-    a documented 10% MFU assumption (generous for a torch GAN step with
-    nine D-tower forwards, a double-backward gradient penalty, thread-based
-    sync-BN and a per-sample python DAMSM loop — see PERF.md §baseline).
-    This replaces round 1's invented 40 img/s denominator with a number
-    whose every input is either measured or an explicit stated assumption.
-The north-star is vs_baseline >= 3.
+    PyTorch implementation: same per-image FLOPs at 312 TFLOP/s bf16 peak
+    and a documented 10% MFU assumption (generous for a torch GAN step
+    with nine D-tower forwards, a double-backward gradient penalty,
+    thread-based sync-BN and a per-sample python DAMSM loop).
+The north-star is vs_baseline >= 3 — only reachable on real (unshared)
+silicon; see PERF.md for the calibration story on this tunnel.
 
 Env knobs: EEGAN_BENCH_BATCH (default 32 per chip), EEGAN_BENCH_PALLAS
 (default 1; 0 benches the pure-XLA words-loss path for A/B),
 EEGAN_BENCH_REMAT (default 0; 1 checkpoints the generator blocks),
-EEGAN_BENCH_SCAN (default 8; K train steps per dispatch via lax.scan —
-the production RUNTIME.STEPS_PER_DISPATCH path. 1 = per-step dispatch,
-which through the dev-tunnel host adds a round-trip per step; the round-1
-4.7k-vs-7.2k discrepancy was exactly that overhead),
-EEGAN_BENCH_WINDOWS / EEGAN_BENCH_ITERS (timing shape).
+EEGAN_BENCH_SCAN (default 8; steps per dispatch via lax.scan — the
+production RUNTIME.STEPS_PER_DISPATCH path), EEGAN_BENCH_WINDOWS /
+EEGAN_BENCH_ITERS (timing shape: ITERS dispatches per window),
+EEGAN_BENCH_CALIBRATE (default 1; 0 skips the matmul calibration).
 """
 
 from __future__ import annotations
@@ -40,7 +51,7 @@ import os
 import sys
 import time
 
-TPU_V5E_PEAK_FLOPS = 197e12  # bf16 per chip
+TPU_V5E_PEAK_FLOPS = 197e12  # bf16 per chip, nominal
 A100_PEAK_FLOPS = 312e12  # bf16
 A100_REFERENCE_MFU = 0.10  # documented assumption; see module docstring
 
@@ -48,12 +59,46 @@ BATCH_PER_CHIP = int(os.environ.get("EEGAN_BENCH_BATCH", "32"))
 USE_PALLAS = os.environ.get("EEGAN_BENCH_PALLAS", "1") == "1"
 USE_REMAT = os.environ.get("EEGAN_BENCH_REMAT", "0") == "1"
 SCAN_K = int(os.environ.get("EEGAN_BENCH_SCAN", "8"))
-WINDOWS = int(os.environ.get("EEGAN_BENCH_WINDOWS", "4"))
-ITERS = int(os.environ.get("EEGAN_BENCH_ITERS", "15"))
+WINDOWS = int(os.environ.get("EEGAN_BENCH_WINDOWS", "3"))
+ITERS = int(os.environ.get("EEGAN_BENCH_ITERS", "4"))
+CALIBRATE = os.environ.get("EEGAN_BENCH_CALIBRATE", "1") == "1"
+
+
+def fetch_scalar(metrics) -> float:
+    """Force execution: pull one value out of the program's outputs."""
+    import numpy as np
+
+    v = np.asarray(metrics["errG/total"])
+    return float(v[-1] if v.ndim else v)
+
+
+def calibrate_matmul_tflops() -> float:
+    """Synchronously measure what this backend sustains on big bf16
+    matmuls (best of 4, scalar-output so the fetch is O(1) bytes)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 8192
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        return (a @ a).sum()
+
+    float(mm(x))  # compile + warm
+    best = min(_timed(lambda: float(mm(x))) for _ in range(4))
+    return 2 * n**3 / best / 1e12
+
+
+def _timed(f) -> float:
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
 
 
 def main():
     import jax
+    import numpy as np
 
     from eegan_tpu.config import Config
     from eegan_tpu.data.synthetic import synthetic_batch
@@ -81,15 +126,12 @@ def main():
     state, frozen = create_train_state(config, models, jax.random.PRNGKey(0))
     step = make_train_step(config, models, mesh=mesh, donate=True)
 
-    batch = shard_batch(
-        synthetic_batch(config, config.TRAIN.BATCH_SIZE, n_words=5450), mesh)
+    host = synthetic_batch(config, config.TRAIN.BATCH_SIZE, n_words=5450)
     rng = jax.random.PRNGKey(1)
 
-    # AOT compile so XLA's cost model is queryable for the exact program.
-    # FLOPs always come from the SINGLE-step program (cost analysis of a
-    # scanned loop body is trip-count-ambiguous); timing uses the scan
-    # program when EEGAN_BENCH_SCAN > 1.
+    # FLOPs from the single-step program's cost model.
     t0 = time.perf_counter()
+    batch = shard_batch(host, mesh)
     compiled = step.lower(state, frozen, batch, rng).compile()
     print(f"compile(step): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     cost = compiled.cost_analysis()
@@ -97,9 +139,6 @@ def main():
     step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
     if SCAN_K > 1:
-        import numpy as np
-
-        host = synthetic_batch(config, config.TRAIN.BATCH_SIZE, n_words=5450)
         stacked = shard_stacked_batch(
             {k: np.stack([host[k]] * SCAN_K) for k in host}, mesh)
         multi = make_multi_train_step(config, models, mesh=mesh, donate=True)
@@ -108,22 +147,21 @@ def main():
         print(f"compile(scan{SCAN_K}): {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
         batch = stacked
+    scan_k = max(SCAN_K, 1)
 
-    # warmup
-    for _ in range(5):
-        state, metrics = compiled(state, frozen, batch, rng)
-    jax.block_until_ready(metrics)
+    # Warmup, fully drained.
+    state, metrics = compiled(state, frozen, batch, rng)
+    fetch_scalar(metrics)
 
-    # Timed windows. The headline is total time over ALL windows; per-window
-    # numbers go to stderr so stalls are visible, not filtered.
-    scan_k = SCAN_K if SCAN_K > 1 else 1
+    # Timed windows: ITERS async dispatches, then a value fetch that forces
+    # the whole window's execution to complete.
     imgs_per_dispatch = config.TRAIN.BATCH_SIZE * scan_k
     window_dts = []
     for wi in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             state, metrics = compiled(state, frozen, batch, rng)
-        jax.block_until_ready(metrics)
+        fetch_scalar(metrics)
         dt = time.perf_counter() - t0
         window_dts.append(dt)
         print(f"window {wi}: {ITERS * imgs_per_dispatch / dt:.1f} img/s",
@@ -142,6 +180,10 @@ def main():
     a100_ref_imgs = (A100_PEAK_FLOPS * A100_REFERENCE_MFU / flops_per_img
                      if flops_per_img else None)
 
+    calibrated = calibrate_matmul_tflops() if CALIBRATE else None
+    mfu_cal = (step_flops * steps_per_sec / n_dev / (calibrated * 1e12)
+               if step_flops and calibrated else None)
+
     out = {
         "metric": "train_images_per_sec_per_chip_256px_cub",
         "value": round(per_chip, 2),
@@ -149,7 +191,11 @@ def main():
         "vs_baseline": round(per_chip / a100_ref_imgs, 3) if a100_ref_imgs
                        else None,
         "best_window": round(best_per_chip, 2),
+        "ms_per_step": round(1e3 / steps_per_sec, 1),
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "mfu_vs_calibrated": round(mfu_cal, 4) if mfu_cal is not None else None,
+        "calibrated_matmul_tflops": round(calibrated, 1)
+                                    if calibrated else None,
         "step_tflops": round(step_flops / 1e12, 3) if step_flops else None,
         "a100_ref_est_imgs_per_sec": round(a100_ref_imgs, 1)
                                      if a100_ref_imgs else None,

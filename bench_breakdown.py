@@ -18,19 +18,24 @@ import json
 import time
 
 
-def timeit(f, *args, iters=10):
-    """Per-iteration sync: the runtime cancels unconsumed queued work, so a
-    sync-at-end loop under-measures. This includes the dispatch round-trip
-    (~tens of ms through the dev tunnel), so phase numbers here are UPPER
-    bounds; relative comparisons remain meaningful."""
+def timeit(f, *args, iters=5):
+    """Per-iteration VALUE-FETCH sync: on this tunnelled platform
+    block_until_ready is not an execution barrier (bench_truth.py), so each
+    iteration fetches one scalar derived from the outputs — the value
+    cannot exist before the phase executed. Includes one dispatch round
+    trip (~5 ms), negligible against real phase times (tens-hundreds ms)."""
     import jax
+    import jax.numpy as jnp
 
-    out = f(*args)
-    jax.block_until_ready(out)
+    def scalar(out):
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "dtype")]
+        return float(jnp.sum(leaves[0].ravel()[:1].astype(jnp.float32)))
+
+    scalar(f(*args))  # compile + warm, drained
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*args)
-        jax.block_until_ready(out)
+        scalar(f(*args))
     return (time.perf_counter() - t0) / iters * 1e3
 
 

@@ -40,8 +40,10 @@ def main():
             jnp.asarray(batch["caps"]), jnp.asarray(batch["cap_lens"]),
             jnp.asarray(batch["attrs"]), jnp.asarray(batch["attr_lens"]))
 
+    # Value-fetch sync throughout: on this platform block_until_ready is
+    # not an execution barrier (see bench_truth.py / PERF.md §1).
     imgs = sample_step(*args, jax.random.PRNGKey(0))
-    jax.block_until_ready(imgs)
+    float(imgs[-1].sum())
     t0 = time.perf_counter()
     iters = 20
     # chain iterations (fold a scalar of the previous output into the key)
@@ -50,7 +52,7 @@ def main():
         key = jax.random.fold_in(jax.random.PRNGKey(i),
                                  imgs[-1][0, 0, 0, 0].astype(jnp.int32))
         imgs = sample_step(*args, key)
-    jax.block_until_ready(imgs)
+    float(imgs[-1].sum())
     gen_rate = iters * b / (time.perf_counter() - t0)
     print(f"generation: {gen_rate:.0f} images/sec (256² pyramid, batch {b})")
 
@@ -59,12 +61,12 @@ def main():
     # device-resident path (overlapped eval): no host round-trip
     dev_imgs = imgs[-1]
     feats = extractor.features_jax(dev_imgs)
-    jax.block_until_ready(feats)
+    float(feats.sum())
     t0 = time.perf_counter()
     for _ in range(iters):  # chained, see above
         x = dev_imgs + 1e-12 * feats[0, 0]
         feats = extractor.features_jax(x)
-    jax.block_until_ready(feats)
+    float(feats.sum())
     fid_dev_rate = iters * b / (time.perf_counter() - t0)
     print(f"inception pool3 (device-resident): {fid_dev_rate:.0f} images/sec")
 

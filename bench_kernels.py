@@ -40,17 +40,19 @@ def main():
         diff = float(jnp.max(jnp.abs(a - b)))
 
         def timeit(f):
-            # Chain each iteration's input on the previous output: the
-            # runtime cancels computations whose results are never consumed,
-            # so an unchained loop only measures dispatch latency.
+            # Chain each iteration's input on the previous output so no
+            # iteration can be elided, and END WITH A VALUE FETCH: on this
+            # tunnelled platform block_until_ready is not an execution
+            # barrier (see bench_truth.py), so only fetching a value
+            # computed by the chain guarantees the work actually ran.
             out = f(regions)
-            out.block_until_ready()
+            float(out.sum())
             t0 = time.perf_counter()
             r = regions
             for _ in range(20):
                 r = regions + 1e-12 * out[0, 0]
                 out = f(r)
-            out.block_until_ready()
+            float(out.sum())
             return (time.perf_counter() - t0) / 20 * 1e3
 
         t_xla = timeit(lambda r: xla(r, words, lens_j))
