@@ -17,6 +17,12 @@ task with a known answer:
      criterion: IS(good) >= 2 * IS(noise).
 
 Runs on the attached device in a few minutes. Results recorded in PERF.md.
+
+Result (one v5e chip, 2026-08-17): PASSED — final train accuracy 0.975,
+IS(good)=5.68±0.55 vs IS(noise)=1.00±0.00 on the 8-class palette (ideal
+IS for 8 perfectly-separated classes ≈ 8; noise collapses to 1 as theory
+says). The in-framework IS pipeline trains a usable classifier and ranks
+folders correctly.
 """
 
 from __future__ import annotations

@@ -94,7 +94,8 @@ class ColorDataset:
 
 
 def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
-         clip: float = 0.0, damsm_steps: int = 300):
+         clip: float = 0.0, damsm_steps: int = 300,
+         sim_coe: float = 0.25, class_coe: float = 2.0):
     import jax
     import jax.numpy as jnp
 
@@ -111,8 +112,8 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
     c.GAN.DF_DIM = 16
     c.TRAIN.BATCH_SIZE = batch
     c.TRAIN.CLASS_NUM = len(PALETTE)
-    c.TRAIN.SIM_COE = 0.25  # shells/train_cub.sh recipe
-    c.TRAIN.CLASS_COE = 2.0
+    c.TRAIN.SIM_COE = sim_coe  # 0.25 = shells/train_cub.sh recipe
+    c.TRAIN.CLASS_COE = class_coe
     c.TRAIN.D_GRAD_CLIP = clip
     c.RUNTIME.COMPUTE_DTYPE = dtype
 
@@ -172,14 +173,21 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
                   f"D256 real={float(metrics['errD_2/real_sent']):.3f} "
                   f"fake={float(metrics['errD_2/fake_sent']):.3f}")
 
-    # ---- phase 3: probe one caption per class --------------------------
+    # ---- phase 3: probe each class caption, averaged over noise draws --
+    # (conditioning is a property of the class distribution, not of one z;
+    # 8 draws per class keep single-sample GAN variance out of the metric)
+    n_draws = 8
     attrs = np.zeros((k, t.MAX_ATTR_NUM, t.MAX_ATTR_LEN), np.int32)
     attrs[:, :, 0] = np.arange(1, k + 1)[:, None]
+    caps_r = np.repeat(caps, n_draws, axis=0)
+    attrs_r = np.repeat(attrs, n_draws, axis=0)
     imgs = sample(state.g_params, state.attr_params, state.g_stats, frozen,
-                  jnp.asarray(caps), jnp.ones(k, jnp.int32),
-                  jnp.asarray(attrs), jnp.ones((k, t.MAX_ATTR_NUM), jnp.int32),
+                  jnp.asarray(caps_r), jnp.ones(k * n_draws, jnp.int32),
+                  jnp.asarray(attrs_r),
+                  jnp.ones((k * n_draws, t.MAX_ATTR_NUM), jnp.int32),
                   jax.random.PRNGKey(7))
-    mean_rgb = np.asarray(imgs[-1]).mean(axis=(1, 2))  # (K, 3)
+    mean_rgb = np.asarray(imgs[-1]).reshape(
+        k, n_draws, *imgs[-1].shape[1:]).mean(axis=(1, 2, 3))  # (K, 3)
     dists = np.linalg.norm(mean_rgb[:, None] - PALETTE[None], axis=-1)
     nearest = np.argmin(dists, axis=1)
     correct = int((nearest == np.arange(k)).sum())
@@ -200,6 +208,8 @@ if __name__ == "__main__":
     p.add_argument("--dtype", default="float32")
     p.add_argument("--clip", type=float, default=0.0)
     p.add_argument("--damsm_steps", type=int, default=300)
+    p.add_argument("--sim_coe", type=float, default=0.25)
+    p.add_argument("--class_coe", type=float, default=2.0)
     a = p.parse_args()
     main(steps=a.steps, batch=a.batch, dtype=a.dtype, clip=a.clip,
-         damsm_steps=a.damsm_steps)
+         damsm_steps=a.damsm_steps, sim_coe=a.sim_coe, class_coe=a.class_coe)
