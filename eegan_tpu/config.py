@@ -85,6 +85,11 @@ class TrainConfig:
     # up on degenerate batches; a loose clip (e.g. 100) stops the spiral
     # without touching healthy dynamics (validate_learning.py findings).
     D_GRAD_CLIP: float = 0.0
+    # Exponential-moving-average copy of the generator + attr-enhance params
+    # (no reference counterpart; the standard GAN eval-quality lever).
+    # 0 disables; typical 0.995-0.999. Sampling/eval prefer the EMA params
+    # when present (trainer.save_images, validate_learning probe).
+    G_EMA_DECAY: float = 0.0
 
     SMOOTH: SmoothConfig = field(default_factory=SmoothConfig)
 

@@ -38,6 +38,14 @@ class TrainState:
     g_opt: Any  # optax state over (g_params, attr_params)
     d_params: Tuple[Any, ...]
     d_opts: Tuple[Any, ...]
+    # Optional exponential moving average of (g_params, attr_params)
+    # (TRAIN.G_EMA_DECAY > 0). The reference has no G-EMA; adversarial
+    # training orbits modes, and sampling from the EMA generator averages
+    # over the orbit — the standard quality/stability lever of modern GAN
+    # stacks. None when disabled (empty pytree subtree, checkpoint-compatible
+    # with pre-EMA states).
+    g_ema: Any = None
+    attr_ema: Any = None
 
 
 def make_optimizers(config: Config):
@@ -79,6 +87,7 @@ def create_train_state(config: Config, models: ModelBundle,
     g_opt = g_tx.init((g_vars["params"], attr_vars["params"]))
     d_opts = tuple(d_tx.init(p) for p in d_params)
 
+    use_ema = config.TRAIN.G_EMA_DECAY > 0
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_vars["params"],
@@ -87,6 +96,10 @@ def create_train_state(config: Config, models: ModelBundle,
         g_opt=g_opt,
         d_params=tuple(d_params),
         d_opts=d_opts,
+        g_ema=jax.tree_util.tree_map(jnp.copy, g_vars["params"])
+              if use_ema else None,
+        attr_ema=jax.tree_util.tree_map(jnp.copy, attr_vars["params"])
+                 if use_ema else None,
     )
     frozen = FrozenEncoders(text_vars=text_vars, image_vars=image_vars)
     return state, frozen

@@ -249,6 +249,16 @@ def build_train_step_fn(config: Config, models: ModelBundle):
             (state.g_params, state.attr_params), g_updates)
         metrics.update(g_aux)
 
+        # Optional generator EMA (state.py note): ema <- d*ema + (1-d)*new.
+        ema_decay = config.TRAIN.G_EMA_DECAY
+        if ema_decay > 0:
+            ema = lambda e, p: jax.tree_util.tree_map(
+                lambda a, b: ema_decay * a + (1.0 - ema_decay) * b, e, p)
+            new_g_ema = ema(state.g_ema, new_gp)
+            new_attr_ema = ema(state.attr_ema, new_ap)
+        else:
+            new_g_ema, new_attr_ema = state.g_ema, state.attr_ema
+
         new_state = TrainState(
             step=state.step + 1,
             g_params=new_gp,
@@ -257,6 +267,8 @@ def build_train_step_fn(config: Config, models: ModelBundle):
             g_opt=new_g_opt,
             d_params=tuple(new_d_params),
             d_opts=tuple(new_d_opts),
+            g_ema=new_g_ema,
+            attr_ema=new_attr_ema,
         )
         return new_state, metrics
 

@@ -160,8 +160,14 @@ class Trainer:
 
     def save_images(self, epoch: int) -> None:
         b = self._sample_batch
+        # Sample from the EMA generator when TRAIN.G_EMA_DECAY is on — the
+        # orbit-averaged params give the stable eval-quality samples.
+        g_p = self.state.g_ema if self.state.g_ema is not None \
+            else self.state.g_params
+        a_p = self.state.attr_ema if self.state.attr_ema is not None \
+            else self.state.attr_params
         imgs = self.sample_step(
-            self.state.g_params, self.state.attr_params, self.state.g_stats,
+            g_p, a_p, self.state.g_stats,
             self.frozen,
             jnp.asarray(b["caps"]), jnp.asarray(b["cap_lens"]),
             jnp.asarray(b["attrs"]), jnp.asarray(b["attr_lens"]),

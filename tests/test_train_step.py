@@ -109,6 +109,29 @@ def test_global_batchnorm_matches_single_device(setup):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_g_ema_tracks_params():
+    """TRAIN.G_EMA_DECAY: ema leaf == d*init + (1-d)*new after one step."""
+    import dataclasses
+
+    c = tiny_config()
+    c.TRAIN = dataclasses.replace(c.TRAIN, G_EMA_DECAY=0.9)
+    models = build_models(c, n_words=N_WORDS)
+    state, frozen = create_train_state(c, models, jax.random.PRNGKey(0))
+    assert state.g_ema is not None
+    mesh = make_mesh("data:8")
+    step_fn = make_train_step(c, models, mesh=mesh, donate=False)
+    batch = shard_batch(synthetic_batch(c, 8, n_words=N_WORDS), mesh)
+    new_state, _ = step_fn(state, frozen, batch, jax.random.PRNGKey(1))
+
+    leaves0 = jax.tree_util.tree_leaves(state.g_params)
+    leaves1 = jax.tree_util.tree_leaves(new_state.g_params)
+    ema1 = jax.tree_util.tree_leaves(new_state.g_ema)
+    for p0, p1, e1 in zip(leaves0, leaves1, ema1):
+        np.testing.assert_allclose(
+            np.asarray(e1), 0.9 * np.asarray(p0) + 0.1 * np.asarray(p1),
+            rtol=1e-5, atol=1e-7)
+
+
 def test_multi_step_matches_sequential(setup):
     """K scanned steps per dispatch == K sequential dispatches, numerically."""
     from eegan_tpu.training.steps import make_multi_train_step

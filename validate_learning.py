@@ -115,6 +115,10 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
     c.TRAIN.SIM_COE = sim_coe  # 0.25 = shells/train_cub.sh recipe
     c.TRAIN.CLASS_COE = class_coe
     c.TRAIN.D_GRAD_CLIP = clip
+    # Probe the EMA generator: adversarial training on a degenerate 8-mode
+    # task orbits the modes (observed: 6/8 at 3k steps, 2/8 at 8k with raw
+    # params — the snapshot catches G mid-orbit); the EMA averages the orbit.
+    c.TRAIN.G_EMA_DECAY = 0.995
     c.RUNTIME.COMPUTE_DTYPE = dtype
 
     mesh = make_mesh("data:-1")
@@ -181,7 +185,9 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
     attrs[:, :, 0] = np.arange(1, k + 1)[:, None]
     caps_r = np.repeat(caps, n_draws, axis=0)
     attrs_r = np.repeat(attrs, n_draws, axis=0)
-    imgs = sample(state.g_params, state.attr_params, state.g_stats, frozen,
+    g_p = state.g_ema if state.g_ema is not None else state.g_params
+    a_p = state.attr_ema if state.attr_ema is not None else state.attr_params
+    imgs = sample(g_p, a_p, state.g_stats, frozen,
                   jnp.asarray(caps_r), jnp.ones(k * n_draws, jnp.int32),
                   jnp.asarray(attrs_r),
                   jnp.ones((k * n_draws, t.MAX_ATTR_NUM), jnp.int32),
