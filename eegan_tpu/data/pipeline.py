@@ -79,6 +79,12 @@ class DataPipeline:
         if batch_size % self.process_count:
             raise ValueError(f"global batch {batch_size} not divisible by "
                              f"{self.process_count} processes")
+        if self.process_count > 1 and not drop_last:
+            # The per-host slice [lo:hi) of each global batch assumes full
+            # batches; a short epoch tail would give hosts ragged/empty
+            # slices and a mis-shaped global array.
+            raise ValueError("multi-host runs require drop_last=True "
+                             "(per-host batch slicing assumes full batches)")
         self.local_batch = batch_size // self.process_count
         self._pool = None
         if num_workers > 0:

@@ -21,6 +21,22 @@ import os
 from typing import Optional
 
 
+def _already_initialized() -> bool:
+    """True iff `jax.distributed.initialize` has already run in this process.
+
+    Deliberately does NOT call `jax.process_count()`: that initialises the
+    XLA backend, after which `jax.distributed.initialize` permanently refuses
+    to run (it must precede any backend-touching call). The distributed
+    client handle is the only pre-backend signal of prior initialisation.
+    """
+    try:
+        from jax._src.distributed import global_state
+
+        return global_state.client is not None
+    except Exception:
+        return False
+
+
 def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
@@ -33,12 +49,19 @@ def initialize(coordinator: Optional[str] = None,
     if process_id is None and "EEGAN_PROCESS_ID" in os.environ:
         process_id = int(os.environ["EEGAN_PROCESS_ID"])
 
-    if jax.process_count() > 1:
-        return  # already initialised
-    if coordinator is None and num_processes is None:
-        # TPU-pod auto-discovery path (metadata server).
-        jax.distributed.initialize()
-    else:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+    if _already_initialized():
+        return
+    try:
+        if coordinator is None and num_processes is None:
+            # TPU-pod auto-discovery path (metadata server).
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+    except RuntimeError as e:
+        # A second call (or a call after another component initialised the
+        # cluster) raises; treat genuine double-init as a no-op.
+        if "already" in str(e).lower():
+            return
+        raise

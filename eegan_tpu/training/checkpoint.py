@@ -41,18 +41,42 @@ class CheckpointManager:
         epoch = epoch if epoch is not None else self._mgr.latest_step()
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {self.model_dir}")
-        restored = self._mgr.restore(
-            epoch, args=ocp.args.StandardRestore(template))
+        try:
+            restored = self._mgr.restore(
+                epoch, args=ocp.args.StandardRestore(template))
+        except Exception:
+            if template.g_ema is None:
+                raise
+            # TRAIN.G_EMA_DECAY was turned on after this checkpoint was
+            # written: the saved tree lacks the g_ema/attr_ema subtrees.
+            # Restore without them and seed the EMA from the restored params
+            # so EMA can be enabled mid-run.
+            import jax
+            import jax.numpy as jnp
+
+            bare = template.replace(g_ema=None, attr_ema=None)
+            restored = self._mgr.restore(
+                epoch, args=ocp.args.StandardRestore(bare))
+            copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+            restored = restored.replace(g_ema=copy(restored.g_params),
+                                        attr_ema=copy(restored.attr_params))
         return restored, int(epoch)
 
     # -- epoch-stamped generator snapshots (eval sweep input) ----------
     def save_generator(self, epoch: int, state: TrainState) -> str:
-        """netG_{epoch} + attr_enhance_{epoch} (reference train.py:308-315)."""
+        """netG_{epoch} + attr_enhance_{epoch} (reference train.py:308-315).
+
+        These snapshots exist solely to feed the evaluation sweep
+        (`test.py` / FID / IS), so when G-EMA is on they carry the EMA
+        params — the eval-quality weights — not the raw optimizer iterate
+        (the raw params live in the full-state resume checkpoints)."""
+        g_p = state.g_ema if state.g_ema is not None else state.g_params
+        a_p = state.attr_ema if state.attr_ema is not None else state.attr_params
         path = os.path.join(self.model_dir, f"netG_{epoch}")
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"g_params": state.g_params,
+        ckptr.save(path, {"g_params": g_p,
                           "g_stats": state.g_stats,
-                          "attr_params": state.attr_params}, force=True)
+                          "attr_params": a_p}, force=True)
         ckptr.wait_until_finished()
         return path
 

@@ -183,9 +183,14 @@ class Trainer:
             self.ckpt.save_generator(epoch, self.state)
             print("Save Gen model.")
             if self.async_eval is not None:
+                # Score the EMA generator when enabled — same weights the
+                # epoch snapshot / test.py sweep sees.
+                g_p = self.state.g_ema if self.state.g_ema is not None \
+                    else self.state.g_params
+                a_p = self.state.attr_ema if self.state.attr_ema is not None \
+                    else self.state.attr_params
                 accepted = self.async_eval.submit(
-                    epoch, self.state.g_params, self.state.attr_params,
-                    self.state.g_stats)
+                    epoch, g_p, a_p, self.state.g_stats)
                 if not accepted:
                     print(f"[async-eval] busy — skipped epoch {epoch}")
         if epoch == 1 or (epoch >= t.WARMUP_EPOCHS and epoch % t.DSAVE_INTERVAL == 0):

@@ -16,11 +16,19 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(
-    coordinator_address=sys.argv[1],
-    num_processes=int(sys.argv[2]),
-    process_id=int(sys.argv[3]),
-)
+
+# Route through the framework wrapper (not jax.distributed directly) so the
+# test exercises eegan_tpu.parallel.distributed.initialize itself, including
+# its pre-backend already-initialised guard. Called twice: the second call
+# must be a no-op even though the first initialised the cluster.
+from eegan_tpu.parallel import distributed  # noqa: E402
+
+distributed.initialize(coordinator=sys.argv[1],
+                       num_processes=int(sys.argv[2]),
+                       process_id=int(sys.argv[3]))
+distributed.initialize(coordinator=sys.argv[1],
+                       num_processes=int(sys.argv[2]),
+                       process_id=int(sys.argv[3]))
 
 import numpy as np  # noqa: E402
 

@@ -61,6 +61,41 @@ def test_generator_snapshot_roundtrip(tiny_state, tmp_path):
     mgr.close()
 
 
+def test_generator_snapshot_carries_ema(tiny_state, tmp_path):
+    """When G-EMA is on, the eval snapshot must hold the EMA weights (the
+    weights test.py's sweep actually scores), not the raw iterate (ADVICE r2)."""
+    _, state, _ = tiny_state
+    bump = lambda t: jax.tree_util.tree_map(lambda x: x + 1.0, t)
+    state = state.replace(g_ema=bump(state.g_params),
+                          attr_ema=bump(state.attr_params))
+    mgr = CheckpointManager(str(tmp_path / "Model"))
+    mgr.save_generator(600, state)
+    restored = mgr.load_generator(600, None)
+    _tree_equal(state.g_ema, restored["g_params"])
+    _tree_equal(state.attr_ema, restored["attr_params"])
+    mgr.close()
+
+
+def test_restore_pre_ema_checkpoint_into_ema_state(tiny_state, tmp_path):
+    """Enabling TRAIN.G_EMA_DECAY on an existing run: restoring a checkpoint
+    written without EMA subtrees must seed them from the restored params
+    (ADVICE r2), not fail StandardRestore."""
+    _, state, _ = tiny_state
+    assert state.g_ema is None  # fixture config has EMA off
+    mgr = CheckpointManager(str(tmp_path / "Model"))
+    mgr.save_state(3, state)
+
+    ema_template = state.replace(
+        g_ema=jax.tree_util.tree_map(jnp.zeros_like, state.g_params),
+        attr_ema=jax.tree_util.tree_map(jnp.zeros_like, state.attr_params))
+    restored, epoch = mgr.restore_state(ema_template)
+    assert epoch == 3
+    _tree_equal(state.g_params, restored.g_params)
+    _tree_equal(restored.g_ema, restored.g_params)
+    _tree_equal(restored.attr_ema, restored.attr_params)
+    mgr.close()
+
+
 def test_frozen_roundtrip(tiny_state, tmp_path):
     _, _, frozen = tiny_state
     mgr = CheckpointManager(str(tmp_path / "Model"))

@@ -98,6 +98,18 @@ def test_pipeline_batching(corpus):
         not np.array_equal(b["img256"], b_other["img256"])
 
 
+def test_pipeline_multihost_requires_drop_last(corpus):
+    """Per-host batch slicing assumes full global batches; a ragged epoch
+    tail would mis-assemble the global array (ADVICE r2)."""
+    import pytest
+
+    c = make_config(corpus)
+    ds = TextImageDataset(c, split="train")
+    with pytest.raises(ValueError, match="drop_last"):
+        DataPipeline(ds, batch_size=2, seed=0, drop_last=False,
+                     process_index=0, process_count=2)
+
+
 def test_text_only_dataset(corpus):
     c = make_config(corpus)
     ds = TextOnlyDataset(c, split="test")
