@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Host data-pipeline throughput benchmark (no accelerator involved).
 
-The fused train step sustains ~4.7k images/sec on one v5e chip, so the host
-must decode+augment at least that fast or training becomes input-bound.
-This measures images/sec of the DataPipeline over a synthetic JPEG corpus
-for several worker counts, with and without the decoded-image preload cache.
+The fused train step sustains ~137 img/s at batch 32 (244 at batch 128) on
+the attached chip (PERF.md §3, value-fetch-synchronised), so the host must
+decode+augment at least that fast or training becomes input-bound. This
+measures images/sec of the DataPipeline over a synthetic JPEG corpus for
+several worker counts, with and without the decoded-image preload cache.
+Caveat: this dev box has ONE CPU core — treat results as floor values.
 """
 
 from __future__ import annotations

@@ -8,10 +8,19 @@ optionally compute R-precision: rank the true caption against 99 wrong-class
 captions by DAMSM cosine similarity, hit iff rank 1, mean±std over 10
 clusters (reference `test.py:306-357`).
 
-TPU-native differences: generation and the image/text encoders run as
-batched jitted programs (the reference scores caption-by-caption in python);
-image writing happens on a background thread so the device never waits on
-PNG encoding.
+TPU-native differences:
+
+* generation and the image/text encoders run as batched jitted programs,
+  **sharded over the mesh ``data`` axis when a mesh is passed** — on a
+  v5e-8 all chips work the 30k sweep instead of one (the reference scores
+  caption-by-caption in python on a single GPU);
+* every test-set caption is encoded ONCE per sweep into a host-side
+  embedding cache; the 99 wrong captions per sample are then vectorised
+  numpy index draws + cache lookups instead of re-encoding B×100 sentences
+  per batch (the reference re-encodes every wrong caption every time,
+  `test.py:306-357`);
+* image writing happens on a background thread so the device never waits on
+  PNG encoding.
 """
 
 from __future__ import annotations
@@ -26,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eegan_tpu.config import Config
-from eegan_tpu.data.datasets import TextOnlyDataset
+from eegan_tpu.data.datasets import TextOnlyDataset, pad_caption
 from eegan_tpu.models.factory import ModelBundle
 from eegan_tpu.training.state import FrozenEncoders
 from eegan_tpu.training.steps import make_sample_step
@@ -36,27 +45,56 @@ from eegan_tpu.utils.images import mkdir_p, save_img_results_one_by_one
 class Tester:
     def __init__(self, config: Config, models: ModelBundle,
                  frozen: FrozenEncoders, dataset: Optional[TextOnlyDataset] = None,
-                 batch_size: Optional[int] = None):
+                 batch_size: Optional[int] = None, mesh=None):
         self.config = config
         self.models = models
         self.frozen = frozen
         self.dataset = dataset or TextOnlyDataset(config, split="test")
         self.batch_size = batch_size or config.TRAIN.BATCH_SIZE
-        self.sample_step = make_sample_step(config, models)
+        self.mesh = mesh
+        if mesh is not None and self.batch_size % mesh.devices.size != 0:
+            raise ValueError(
+                f"eval batch {self.batch_size} not divisible by "
+                f"{mesh.devices.size} mesh devices")
+        self.sample_step = make_sample_step(config, models, mesh=mesh)
 
-        @jax.jit
-        def _encode_image(image_vars, imgs):
-            _, code = models.image_encoder.apply(image_vars, imgs, train=False)
-            return code
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        @jax.jit
-        def _encode_sents(text_vars, caps, lens):
-            _, sent = models.text_encoder.apply(text_vars, caps, lens,
-                                                train=False)
-            return sent
+            from eegan_tpu.parallel.mesh import DATA_AXIS
 
-        self._encode_image = _encode_image
-        self._encode_sents = _encode_sents
+            repl = NamedSharding(mesh, P())
+            row = NamedSharding(mesh, P(DATA_AXIS))
+
+            enc_img = jax.jit(self._encode_image_fn,
+                              in_shardings=(repl,
+                                            NamedSharding(
+                                                mesh, P(DATA_AXIS, None,
+                                                        None, None))))
+            enc_snt = jax.jit(self._encode_sents_fn,
+                              in_shardings=(repl,
+                                            NamedSharding(mesh,
+                                                          P(DATA_AXIS, None)),
+                                            row))
+        else:
+            enc_img = jax.jit(self._encode_image_fn)
+            enc_snt = jax.jit(self._encode_sents_fn)
+        self._encode_image = enc_img
+        self._encode_sents = enc_snt
+
+        # Lazily built caption-embedding cache (one encode per test caption
+        # per Tester lifetime; the frozen text encoder never changes).
+        self._cap_cache: Optional[np.ndarray] = None
+
+    def _encode_image_fn(self, image_vars, imgs):
+        _, code = self.models.image_encoder.apply(image_vars, imgs,
+                                                  train=False)
+        return code
+
+    def _encode_sents_fn(self, text_vars, caps, lens):
+        _, sent = self.models.text_encoder.apply(text_vars, caps, lens,
+                                                 train=False)
+        return sent
 
     # ------------------------------------------------------------------
     def _batches(self, total: int, rng: np.random.Generator):
@@ -82,6 +120,75 @@ class Tester:
             drawn += self.batch_size
             yield batch
 
+    # ------------------------------------------------------------------
+    def _caption_cache(self, rng: np.random.Generator) -> np.ndarray:
+        """(n_captions, D) sentence embeddings of every scorable test
+        caption, encoded once in mesh-divisible chunks."""
+        if self._cap_cache is not None:
+            return self._cap_cache
+        ds = self.dataset
+        n_caps = ds.img_sum * ds.embeddings_num
+        t = ds.words_num
+        caps = np.zeros((n_caps, t), np.int32)
+        lens = np.zeros((n_caps,), np.int32)
+        for i in range(n_caps):
+            caps[i], lens[i] = pad_caption(ds.captions[i], t, rng)
+
+        # Chunk is a multiple of batch_size so it stays mesh-divisible.
+        chunk = self.batch_size * max(1, 256 // self.batch_size)
+        pad = (-n_caps) % chunk
+        if pad:
+            caps = np.concatenate([caps, np.zeros((pad, t), np.int32)])
+            lens = np.concatenate([lens, np.ones((pad,), np.int32)])
+        outs = []
+        for s in range(0, len(caps), chunk):
+            outs.append(np.asarray(self._encode_sents(
+                self.frozen.text_vars, jnp.asarray(caps[s:s + chunk]),
+                jnp.asarray(lens[s:s + chunk]))))
+        self._cap_cache = np.concatenate(outs)[:n_caps]
+        return self._cap_cache
+
+    def _sample_wrong_indices(self, cls_ids: np.ndarray,
+                              rng: np.random.Generator,
+                              n_wrong: int) -> np.ndarray:
+        """(B, n_wrong) caption indices from other classes — the reference's
+        draw-then-walk-forward sampler (`get_sent_multi_unpair`,
+        datasets.py:509-529) vectorised over the whole batch."""
+        ds = self.dataset
+        b = len(cls_ids)
+        img_idx = rng.integers(0, ds.img_sum, size=(b, n_wrong))
+        img_cls = np.asarray(ds.class_id)[:ds.img_sum]
+        bad = img_cls[img_idx] == cls_ids[:, None]
+        while bad.any():
+            img_idx[bad] = (img_idx[bad] + 1) % ds.img_sum
+            bad = img_cls[img_idx] == cls_ids[:, None]
+        sub = rng.integers(0, ds.embeddings_num, size=(b, n_wrong))
+        return img_idx * ds.embeddings_num + sub
+
+    def _r_precision_batch(self, batch, img256: np.ndarray, r_val: int,
+                           rng: np.random.Generator) -> np.ndarray:
+        """Per-sample: cosine-rank the true caption among r_val-1 wrong ones
+        (reference `cal_sim_one_by_one`, test.py:306-357), batched; wrong
+        captions come from the per-sweep embedding cache."""
+        cache = self._caption_cache(rng)
+        wrong_idx = self._sample_wrong_indices(
+            np.asarray(batch["class_ids"]), rng, r_val - 1)
+        wrong = cache[wrong_idx]  # (B, r-1, D)
+
+        true = np.asarray(self._encode_sents(
+            self.frozen.text_vars, jnp.asarray(batch["caps"]),
+            jnp.asarray(batch["cap_lens"])))  # (B, D)
+        sent = np.concatenate([true[:, None, :], wrong], axis=1)  # (B, r, D)
+        code = np.asarray(self._encode_image(
+            self.frozen.image_vars, jnp.asarray(img256)))
+
+        sims = np.einsum("bd,brd->br", code, sent)
+        sims /= np.maximum(
+            np.linalg.norm(code, axis=-1, keepdims=True)
+            * np.linalg.norm(sent, axis=-1), 1e-8)
+        return (np.argmax(sims, axis=1) == 0)
+
+    # ------------------------------------------------------------------
     def generate(self, g_params, attr_params, g_stats, out_dir: str,
                  sampling_nums: int = 30000, seed: int = 100,
                  compute_r_precision: bool = False,
@@ -145,37 +252,6 @@ class Tester:
             out["r_precision_mean"] = float(np.mean(rates))
             out["r_precision_std"] = float(np.std(rates))
         return out
-
-    def _r_precision_batch(self, batch, img256: np.ndarray, r_val: int,
-                           rng: np.random.Generator) -> np.ndarray:
-        """Per-sample: cosine-rank the true caption among r_val-1 wrong ones
-        (reference `cal_sim_one_by_one`, test.py:306-357), batched."""
-        b = len(img256)
-        t = self.config.TEXT.WORDS_NUM
-
-        caps_all = np.zeros((b, r_val, t), np.int32)
-        lens_all = np.zeros((b, r_val), np.int32)
-        caps_all[:, 0] = batch["caps"]
-        lens_all[:, 0] = batch["cap_lens"]
-        for i in range(b):
-            wc, wl = self.dataset.wrong_captions(
-                int(batch["class_ids"][i]), rng, r_val)
-            caps_all[i, 1:] = wc
-            lens_all[i, 1:] = wl
-
-        sent = self._encode_sents(
-            self.frozen.text_vars,
-            jnp.asarray(caps_all.reshape(b * r_val, t)),
-            jnp.asarray(lens_all.reshape(b * r_val)))
-        sent = np.asarray(sent).reshape(b, r_val, -1)
-        code = np.asarray(self._encode_image(
-            self.frozen.image_vars, jnp.asarray(img256)))
-
-        sims = np.einsum("bd,brd->br", code, sent)
-        sims /= np.maximum(
-            np.linalg.norm(code, axis=-1, keepdims=True)
-            * np.linalg.norm(sent, axis=-1), 1e-8)
-        return (np.argmax(sims, axis=1) == 0)
 
     # ------------------------------------------------------------------
     def sweep(self, ckpt_manager, select_epochs: Sequence[int],

@@ -128,7 +128,8 @@ def main():
         eval_ds = (dataset if args.synthetic
                    else TextOnlyDataset(config, split="test"))
         tester = Tester(config, trainer.models, trainer.frozen, eval_ds,
-                        batch_size=config.TRAIN.BATCH_SIZE)
+                        batch_size=config.TRAIN.BATCH_SIZE,
+                        mesh=trainer.mesh)
         trainer.async_eval = AsyncEvaluator(
             tester, writer=trainer.writer,
             real_stats=args.fid_stats or None,
