@@ -10,9 +10,75 @@ overlapped-eval story runs (BASELINE.md north-star).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+class SyntheticTextOnly:
+    """CUB-test-shaped caption corpus in memory (2933 images × 10 captions,
+    200 classes) so the full-sweep wall-clock includes a realistically
+    sized caption-embedding cache and wrong-caption index space."""
+
+    def __init__(self, config, n_images=2933, n_classes=200):
+        rng = np.random.RandomState(0)
+        self.config = config
+        self.words_num = config.TEXT.WORDS_NUM
+        self.max_attr_num = config.TEXT.MAX_ATTR_NUM
+        self.max_attr_len = config.TEXT.MAX_ATTR_LEN
+        self.embeddings_num = config.TEXT.CAPTIONS_PER_IMAGE
+        self.img_sum = n_images
+        self.class_id = rng.randint(1, n_classes + 1, n_images)
+        self.captions = [list(rng.randint(1, 5450, rng.randint(5, 25)))
+                         for _ in range(n_images * self.embeddings_num)]
+
+    def __len__(self):
+        return self.img_sum
+
+    def sample(self, index, rng):
+        from eegan_tpu.data.datasets import pad_caption
+
+        sub = int(rng.integers(0, self.embeddings_num))
+        caps, cap_len = pad_caption(
+            self.captions[index * self.embeddings_num + sub],
+            self.words_num, rng)
+        attrs = np.zeros((self.max_attr_num, self.max_attr_len), np.int32)
+        attrs[:, 0] = caps[0]
+        return {"caps": caps, "cap_lens": np.int32(cap_len),
+                "attrs": attrs,
+                "attr_lens": np.ones(self.max_attr_num, np.int32),
+                "class_ids": np.int32(self.class_id[index]),
+                "keys": f"img_{index}"}
+
+
+def bench_full_sweep(c, models, state, frozen, sampling_nums):
+    """Wall-clock of ONE full (epoch, repeat) R-precision sweep through the
+    production Tester — cache build + generation + encodes + host scoring
+    (VERDICT r2 #8). saving_images=False isolates compute from PNG IO."""
+    from eegan_tpu.evaluation.tester import Tester
+    from eegan_tpu.parallel.mesh import make_mesh
+
+    ds = SyntheticTextOnly(c)
+    tester = Tester(c, models, frozen, dataset=ds,
+                    batch_size=c.TRAIN.BATCH_SIZE, mesh=make_mesh("data:-1"))
+    # warm the compiled programs outside the timed window
+    warm = tester.generate(state.g_params, state.attr_params, state.g_stats,
+                           "/tmp/_unused", sampling_nums=c.TRAIN.BATCH_SIZE,
+                           compute_r_precision=True, saving_images=False)
+    t0 = time.perf_counter()
+    res = tester.generate(state.g_params, state.attr_params, state.g_stats,
+                          "/tmp/_unused", sampling_nums=sampling_nums,
+                          compute_r_precision=True, saving_images=False)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "eval_sweep_wall_clock_s", "value": round(dt, 1),
+        "unit": "s", "vs_baseline": 1.0,
+        "sampling_nums": sampling_nums,
+        "images_per_sec": round(sampling_nums / dt, 1),
+        "r_precision_mean": res.get("r_precision_mean"),
+        "caption_cache_size": int(tester._cap_cache.shape[0]),
+    }))
 
 
 def main():
@@ -87,6 +153,12 @@ def main():
     print(json.dumps({"metric": "eval_generation_images_per_sec",
                       "value": round(gen_rate, 1), "unit": "images/sec",
                       "vs_baseline": 1.0}))
+
+    # Full production-Tester sweep wall-clock: --sweep [N] (default 30000).
+    if "--sweep" in sys.argv:
+        i = sys.argv.index("--sweep")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 30000
+        bench_full_sweep(c, models, state, frozen, n)
 
 
 if __name__ == "__main__":

@@ -17,11 +17,31 @@ score reference-trained models:
 
     python convert_checkpoints.py --cfg cfg/bird.yml --n_words 5450 \\
         --damsm text_encoder200.pth --out_model_dir converted/Model
+
+``--verify`` (VERDICT r2 #7) turns the conversion into a one-command
+rehearsal of the quality-parity pipeline: after converting, it
+
+  1. re-runs each converted model next to a torch oracle carrying the SAME
+     weights (text encoder: a `torch.nn.LSTM/GRU` with packed sequences;
+     image encoder: the exact-torchvision-layout reimplementation in
+     `tests/torch_inception_ref.py`; generator/attr-enhance: the reference
+     modules from /root/reference when mounted) and demands elementwise-
+     close activations;
+  2. runs a 1-batch FID smoke through the converted generator + Inception
+     pool3 features (self-distance must be ~0 and finite);
+  3. exits non-zero on ANY mismatch.
+
+The day real CUB artefacts exist, proving checkpoint compatibility is:
+``python convert_checkpoints.py --cfg cfg/bird.yml --n_words 5450 \\
+--netG netG_600.pth --attr_enhance attr_enhance_600.pth \\
+--damsm text_encoder200.pth --out_model_dir converted/Model --verify``.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 
 def parse_args():
@@ -39,9 +59,239 @@ def parse_args():
                         help="AttnGAN text_encoder .pth (image encoder path "
                              "derived by the text->image substitution)")
     parser.add_argument("--out_model_dir", type=str, required=True)
+    parser.add_argument("--verify", action="store_true",
+                        help="after converting, check activation parity "
+                             "against torch oracles + a 1-batch FID smoke; "
+                             "exit non-zero on mismatch")
     parser.add_argument("--set", dest="overrides", action="append",
                         default=[], metavar="KEY=VALUE")
     return parser.parse_args()
+
+
+# ---------------------------------------------------------------------------
+# --verify oracles
+# ---------------------------------------------------------------------------
+
+def _close(name: str, ours, theirs, atol=2e-4, rtol=1e-3) -> list:
+    import numpy as np
+
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    if ours.shape != theirs.shape:
+        return [f"{name}: shape {ours.shape} vs oracle {theirs.shape}"]
+    scale = max(float(np.abs(theirs).max()), 1e-6)
+    err = float(np.abs(ours - theirs).max()) / scale
+    if not np.isfinite(ours).all():
+        return [f"{name}: non-finite values in converted output"]
+    if err > atol + rtol:
+        return [f"{name}: max rel-to-peak deviation {err:.2e} "
+                f"(budget {atol + rtol:.0e})"]
+    print(f"  [verify] {name}: max deviation {err:.2e} ok")
+    return []
+
+
+def _verify_text_encoder(sd, models, text_vars, config) -> list:
+    """Packed-sequence torch RNN oracle with the converted weights."""
+    import numpy as np
+    import torch
+
+    import jax.numpy as jnp
+
+    enc = models.text_encoder
+    H = enc.nhidden // 2
+    rnn_cls = torch.nn.LSTM if config.RNN_TYPE == "LSTM" else torch.nn.GRU
+    rnn = rnn_cls(enc.ninput, H, batch_first=True, bidirectional=True)
+    with torch.no_grad():
+        for g in ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0"):
+            getattr(rnn, g).copy_(torch.from_numpy(np.asarray(sd[f"rnn.{g}"])))
+            getattr(rnn, g + "_reverse").copy_(
+                torch.from_numpy(np.asarray(sd[f"rnn.{g}_reverse"])))
+    emb_w = torch.from_numpy(np.asarray(sd["encoder.weight"]))
+
+    rng = np.random.RandomState(0)
+    B, T = 4, config.TEXT.WORDS_NUM
+    caps = rng.randint(1, emb_w.shape[0], (B, T)).astype(np.int32)
+    lens = np.asarray([T, 3, T // 2, 1], np.int32)[:B]
+
+    with torch.no_grad():
+        emb = torch.nn.functional.embedding(torch.from_numpy(caps).long(),
+                                            emb_w)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            emb, torch.from_numpy(lens).long(), batch_first=True,
+            enforce_sorted=False)
+        if config.RNN_TYPE == "LSTM":
+            out, (h, _) = rnn(packed)
+        else:
+            out, h = rnn(packed)
+        out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            out, batch_first=True, total_length=T)
+        sent_t = torch.cat([h[0], h[1]], dim=-1)
+
+    words_j, sent_j = enc.apply(text_vars, jnp.asarray(caps),
+                                jnp.asarray(lens), train=False)
+    return (_close("text_encoder words", words_j, out.numpy())
+            + _close("text_encoder sent", sent_j, sent_t.numpy()))
+
+
+def _verify_image_encoder(sd, models, image_vars) -> list:
+    """Exact-torchvision-layout oracle (tests/torch_inception_ref.py)."""
+    import importlib.util
+
+    import numpy as np
+    import torch
+
+    import jax.numpy as jnp
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "torch_inception_ref.py")
+    if not os.path.isfile(path):
+        print("  [verify] image_encoder: oracle module absent — skipped")
+        return []
+    spec = importlib.util.spec_from_file_location("torch_inception_ref", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    oracle = mod.RefCNNEncoder(nef=models.image_encoder.nef)
+    missing, unexpected = oracle.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()
+         if "num_batches_tracked" not in k}, strict=False)
+    if missing or [u for u in unexpected if "num_batches_tracked" not in u]:
+        return [f"image_encoder: oracle state-dict mismatch "
+                f"missing={missing} unexpected={unexpected}"]
+    oracle.eval()
+
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        region_t, code_t = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    region_j, code_j = models.image_encoder.apply(
+        image_vars, jnp.asarray(x), train=False)
+    return (_close("image_encoder region", region_j,
+                   region_t.numpy().transpose(0, 2, 3, 1))
+            + _close("image_encoder code", code_j, code_t.numpy()))
+
+
+def _verify_generator(g_sd, attr_sd, config, models, g_vars,
+                      attr_params) -> list:
+    """Reference `Gen`/`ATTR_Enhance` oracle (needs /root/reference)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    reference = os.environ.get("EEGAN_REFERENCE_DIR", "/root/reference")
+    if not os.path.isdir(reference):
+        print("  [verify] generator: reference tree not mounted — "
+              "finite/range checks only")
+        rng = jax.random.PRNGKey(0)
+        z = jax.random.normal(rng, (2, config.GAN.Z_DIM))
+        sent = jax.random.normal(rng, (2, config.TEXT.EMBEDDING_DIM))
+        imgs = models.generator.apply(g_vars, z, sent, sent, train=False)
+        for im in imgs:
+            if not bool(jnp.isfinite(im).all()):
+                return ["generator: non-finite output"]
+            if float(jnp.abs(im).max()) > 1.0 + 1e-5:
+                return ["generator: output outside tanh range"]
+        print("  [verify] generator: finite, in-range (no oracle)")
+        return []
+
+    import types
+
+    import torch
+
+    if "easydict" not in sys.modules:
+        shim = types.ModuleType("easydict")
+
+        class _ED(dict):
+            def __init__(self, d=None, **kw):
+                super().__init__()
+                for k, v in {**(d or {}), **kw}.items():
+                    self[k] = v
+
+            def __setitem__(self, k, v):
+                if isinstance(v, dict) and not isinstance(v, _ED):
+                    v = _ED(v)
+                super().__setitem__(k, v)
+                super().__setattr__(k, v)
+
+            __setattr__ = __setitem__
+
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+        shim.EasyDict = _ED
+        sys.modules["easydict"] = shim
+    sys.path.insert(0, reference)
+    try:
+        import models as ref  # reference modules, oracle only
+    finally:
+        sys.path.remove(reference)
+
+    errors = []
+    gen_t = ref.Gen(config.GAN.GF_DIM, config.GAN.Z_DIM).eval()
+    gen_t.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in g_sd.items()})
+    torch.manual_seed(0)
+    z = torch.randn(2, config.GAN.Z_DIM)
+    sent = torch.randn(2, config.TEXT.EMBEDDING_DIM)
+    attrs = torch.randn(2, config.TEXT.EMBEDDING_DIM)
+    with torch.no_grad():
+        imgs_t = gen_t(z, sent, attrs)
+    imgs_j = models.generator.apply(g_vars, jnp.asarray(z.numpy()),
+                                    jnp.asarray(sent.numpy()),
+                                    jnp.asarray(attrs.numpy()), train=False)
+    for s, t_im, j_im in zip((64, 128, 256), imgs_t, imgs_j):
+        errors += _close(f"generator img{s}", j_im,
+                         t_im.numpy().transpose(0, 2, 3, 1))
+
+    if attr_sd is not None:
+        from eegan_tpu.models.attr_enhance import AttrEnhance
+
+        attr_t = ref.ATTR_Enhance(config.TEXT.EMBEDDING_DIM).eval()
+        attr_t.load_state_dict(
+            {k: torch.from_numpy(np.asarray(v)) for k, v in attr_sd.items()})
+        a_in = torch.randn(2, 3, config.TEXT.EMBEDDING_DIM)
+        with torch.no_grad():
+            _, a_t = attr_t(sent, a_in)
+            merged_t = ref.ATTR_Enhance.attr_merge(a_t)
+        _, a_j = models.attr_enhance.apply(
+            {"params": attr_params}, jnp.asarray(sent.numpy()),
+            jnp.asarray(a_in.numpy()))
+        errors += _close("attr_enhance merged", AttrEnhance.attr_merge(a_j),
+                         merged_t.numpy(), atol=1e-4, rtol=1e-4)
+    return errors
+
+
+def _fid_smoke(config, models, g_vars, frozen) -> list:
+    """1-batch FID self-distance through the converted generator."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from eegan_tpu.evaluation.fid import (
+        FIDExtractor,
+        activation_statistics,
+        frechet_distance,
+    )
+
+    rng = jax.random.PRNGKey(7)
+    b = 4
+    z = jax.random.normal(rng, (b, config.GAN.Z_DIM))
+    sent = jax.random.normal(rng, (b, config.TEXT.EMBEDDING_DIM))
+    imgs = models.generator.apply(g_vars, z, sent, sent, train=False)
+    extractor = FIDExtractor()
+    feats = np.asarray(extractor.features_jax(imgs[-1]))
+    if not np.isfinite(feats).all():
+        return ["fid_smoke: non-finite pool3 features"]
+    mu, sigma = activation_statistics(feats)
+    d = frechet_distance(mu, sigma, mu, sigma)
+    if not np.isfinite(d) or abs(d) > 1e-3:
+        return [f"fid_smoke: self-distance {d} (expected ~0)"]
+    print(f"  [verify] fid_smoke: self-distance {d:.2e} ok")
+    return []
 
 
 def main():
@@ -61,11 +311,13 @@ def main():
     state, frozen = create_train_state(config, models, jax.random.PRNGKey(0))
     mgr = CheckpointManager(args.out_model_dir)
 
+    errors = []
     if args.netG:
         sd = tc.load_state_dict(args.netG)
         g_vars = tc.convert_generator(sd, {"params": state.g_params,
                                            "batch_stats": state.g_stats})
         attr_params = state.attr_params
+        asd = None
         if args.attr_enhance:
             asd = tc.load_state_dict(args.attr_enhance)
             attr_params = tc.convert_attr_enhance(
@@ -76,15 +328,33 @@ def main():
         epoch = args.epoch or 1
         path = mgr.save_generator(epoch, state)
         print(f"converted generator snapshot -> {path}")
+        if args.verify:
+            errors += _verify_generator(sd, asd, config, models, g_vars,
+                                        attr_params)
+            errors += _fid_smoke(config, models, g_vars, frozen)
 
     if args.damsm:
         frozen = tc.load_damsm_encoders(args.damsm, models, frozen)
         path = mgr.save_frozen(frozen)
         print(f"converted DAMSM encoders -> {path}")
         print("point TEXT.DAMSM_NAME at this directory to use them")
+        if args.verify:
+            errors += _verify_text_encoder(tc.load_state_dict(args.damsm),
+                                           models, frozen.text_vars, config)
+            img_pth = args.damsm.replace("text_encoder", "image_encoder")
+            if os.path.isfile(img_pth):
+                errors += _verify_image_encoder(
+                    tc.load_state_dict(img_pth), models, frozen.image_vars)
 
     if not args.netG and not args.damsm:
         print("nothing to do: pass --netG and/or --damsm")
+
+    if args.verify:
+        if errors:
+            for e in errors:
+                print(f"VERIFY FAIL: {e}")
+            raise SystemExit(1)
+        print("VERIFY OK: all converted artefacts match their oracles")
 
 
 if __name__ == "__main__":

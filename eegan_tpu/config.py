@@ -78,6 +78,13 @@ class TrainConfig:
     # --class_coe 10 --sim_coe 0.25). CLI flags still override these.
     CLASS_COE: float = 10.0
     SIM_COE: float = 0.05
+    # Per-term weights inside the SIM_COE-scaled DAMSM sum. The reference
+    # hardcodes 1:1:1 (`train.py:419-435`: errG += (w+s+a)*sim_coe); these
+    # let ablations isolate one conditioning pathway (validate_words.py
+    # proves the words-loss trains on its own with SENT=ATTR=0).
+    SENT_COE: float = 1.0
+    WORDS_COE: float = 1.0
+    ATTR_COE: float = 1.0
 
     # Guard rail for bf16 recipes (no reference counterpart): global-norm
     # clip on discriminator gradients (both the hinge and the MAGP step).
@@ -134,6 +141,11 @@ class RuntimeConfig:
     DATA_WORKERS: int = 8
     # Batches to prefetch onto device.
     PREFETCH: int = 2
+    # Decode the whole image corpus into a host RAM cache at startup and
+    # assemble batches through the native (OpenMP C++) crop/resize path —
+    # the zero-IPC fast path for hosts where per-step JPEG decode can't
+    # keep up with the device (bench_e2e.py measures both).
+    DATA_PRELOAD: bool = False
 
 
 @dataclass

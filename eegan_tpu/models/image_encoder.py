@@ -35,7 +35,9 @@ class ImageEncoder(nn.Module):
 
         Returns (region_features (B, 17, 17, nef), cnn_code (B, nef)).
         """
-        x = resize_bilinear_half_pixel(x, (299, 299))
+        # Resize in the compute dtype: the trunk consumes bf16 anyway, and
+        # the 256->299 interpolation matmuls are bandwidth-bound.
+        x = resize_bilinear_half_pixel(x.astype(self.dtype), (299, 299))
         taps = InceptionV3(num_classes=0, dtype=self.dtype,
                            name="inception")(x, train=False)
 

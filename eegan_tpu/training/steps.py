@@ -69,10 +69,19 @@ def encode_text_bundle(models: ModelBundle, frozen: FrozenEncoders,
     return words, sent, unpair_sent, attrs_emb
 
 
-def build_train_step_fn(config: Config, models: ModelBundle):
+def build_train_step_fn(config: Config, models: ModelBundle,
+                        ablate: frozenset = frozenset()):
     """The raw (unjitted) train step: (state, frozen, batch, rng) ->
     (state, metrics). Jitted directly by `make_train_step`, or scanned K
-    times per dispatch by `make_multi_train_step`."""
+    times per dispatch by `make_multi_train_step`.
+
+    ``ablate`` is for benchmarking ONLY (bench_ablate.py): it surgically
+    removes a phase so its marginal cost inside the fused program can be
+    measured honestly. Recognised keys: "text" (zero embeddings instead of
+    the BiLSTM), "damsm" (skip sent/words/attr losses + Inception), "words"
+    (skip only the words-loss), "magp" (skip the second D step), "dsteps"
+    (skip the D updates entirely). Never set in production.
+    """
     g_tx, d_tx = make_optimizers(config)
     n_scales = len(models.scales)
     # Fused Pallas words-loss (custom VJP) on TPU; XLA path elsewhere
@@ -83,6 +92,9 @@ def build_train_step_fn(config: Config, models: ModelBundle):
     class_num = config.TRAIN.CLASS_NUM
     class_coe = config.TRAIN.CLASS_COE
     sim_coe = config.TRAIN.SIM_COE
+    sent_coe = config.TRAIN.SENT_COE
+    words_coe = config.TRAIN.WORDS_COE
+    attr_coe = config.TRAIN.ATTR_COE
     sm = config.TRAIN.SMOOTH
     nz = config.GAN.Z_DIM
 
@@ -110,19 +122,27 @@ def build_train_step_fn(config: Config, models: ModelBundle):
         metrics = {}
 
         def loss_fn(p):
-            feat_real = disc_features(i, p, real)
-            feat_fake = disc_features(i, p, fake)
+            # One 2B tower pass + one 3B head pass instead of 2+3 B-sized
+            # calls: D has no cross-batch ops (no BN), so the math is
+            # bitwise identical while the convs run at double/triple batch
+            # density — the MXU-utilisation lever the batch-32 recipe needs
+            # (bench_ablate.py attribution; PERF.md §3).
+            b2 = real.shape[0]
+            feats = disc_features(i, p, jnp.concatenate([real, fake], axis=0))
+            feat_real, feat_fake = feats[:b2], feats[b2:]
+            heads = disc_head(
+                i, p,
+                jnp.concatenate([feat_real, feat_real, feat_fake], axis=0),
+                jnp.concatenate([sent, unpair_sent, sent], axis=0))
             if is_class_scale:
-                real_out, real_cls = disc_head(i, p, feat_real, sent)
-                unpair_out, unpair_cls = disc_head(i, p, feat_real, unpair_sent)
-                fake_out, fake_cls = disc_head(i, p, feat_fake, sent)
+                outs, clss = heads
+                real_out, unpair_out, fake_out = jnp.split(outs, 3, axis=0)
+                real_cls, unpair_cls, fake_cls = jnp.split(clss, 3, axis=0)
                 err_real_c = gan_losses.bce_with_logits(real_cls, class_labels)
                 err_fake_c = gan_losses.bce_with_logits(fake_cls, class_labels)
                 err_unpair_c = gan_losses.bce_with_logits(unpair_cls, class_labels)
             else:
-                real_out = disc_head(i, p, feat_real, sent)
-                unpair_out = disc_head(i, p, feat_real, unpair_sent)
-                fake_out = disc_head(i, p, feat_fake, sent)
+                real_out, unpair_out, fake_out = jnp.split(heads, 3, axis=0)
                 err_real_c = err_fake_c = err_unpair_c = jnp.float32(0)
             err_real = gan_losses.hinge_real(real_out)
             err_fake = gan_losses.hinge_fake(fake_out)
@@ -143,6 +163,9 @@ def build_train_step_fn(config: Config, models: ModelBundle):
         metrics.update({f"errD_{i}/{k}": v for k, v in aux.items()})
 
         # --- MAGP second step at the freshly updated params ---
+        if "magp" in ablate:
+            return dp, d_opt, metrics
+
         def gp_loss_fn(p):
             def pair_sum(img, s):
                 feat = disc_features(i, p, img)
@@ -162,8 +185,15 @@ def build_train_step_fn(config: Config, models: ModelBundle):
 
     def train_step(state: TrainState, frozen: FrozenEncoders, batch: Batch,
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        words, sent, unpair_sent, attrs_emb = encode_text_bundle(
-            models, frozen, config, batch)
+        if "text" in ablate:
+            b_, t_ = batch["caps"].shape
+            d_ = config.TEXT.EMBEDDING_DIM
+            words = jnp.zeros((b_, t_, d_))
+            sent = unpair_sent = jnp.zeros((b_, d_))
+            attrs_emb = jnp.zeros((b_, config.TEXT.MAX_ATTR_NUM, d_))
+        else:
+            words, sent, unpair_sent, attrs_emb = encode_text_bundle(
+                models, frozen, config, batch)
         words = jax.lax.stop_gradient(words)
         sent = jax.lax.stop_gradient(sent)
         unpair_sent = jax.lax.stop_gradient(unpair_sent)
@@ -192,6 +222,10 @@ def build_train_step_fn(config: Config, models: ModelBundle):
         metrics: Dict[str, jnp.ndarray] = {}
         new_d_params, new_d_opts = [], []
         for i in range(n_scales):
+            if "dsteps" in ablate:
+                new_d_params.append(state.d_params[i])
+                new_d_opts.append(state.d_opts[i])
+                continue
             real = batch[f"img{models.scales[i]}"]
             dp, d_opt, m = d_scale_update(
                 i, state.d_params[i], state.d_opts[i], real, fake_sg[i],
@@ -219,22 +253,36 @@ def build_train_step_fn(config: Config, models: ModelBundle):
                 aux[f"errG/G_{i}_fake_sent"] = err_g
 
             # DAMSM losses on the 256² image (reference train.py:419-435).
-            region, code = models.image_encoder.apply(
-                frozen.image_vars, imgs[-1], train=False)
-            s0, s1 = damsm_losses.sent_loss(code, sent, class_ids, sm.GAMMA3)
-            s_loss = (s0 + s1) * sm.LAMBDA
-            if use_pallas_damsm:
-                from eegan_tpu.ops.damsm_pallas import words_loss_pallas
-                w0, w1 = words_loss_pallas(
-                    region, words, batch["cap_lens"], class_ids,
-                    sm.GAMMA1, sm.GAMMA2, sm.GAMMA3)
+            # Terms with a zero coefficient are dropped at TRACE time, so an
+            # ablated pathway contributes no compute and no gradient.
+            need_s = sent_coe != 0
+            need_w = words_coe != 0 and "words" not in ablate
+            need_a = attr_coe != 0
+            if "damsm" in ablate or not (need_s or need_w or need_a):
+                s_loss = w_loss = a_loss = jnp.float32(0)
             else:
-                w0, w1 = damsm_losses.words_loss(
-                    region, words, batch["cap_lens"], class_ids,
-                    sm.GAMMA1, sm.GAMMA2, sm.GAMMA3)
-            w_loss = (w0 + w1) * sm.LAMBDA
-            a0, a1 = damsm_losses.sent_loss(code, merged, class_ids, sm.GAMMA3)
-            a_loss = (a0 + a1) * sm.LAMBDA
+                region, code = models.image_encoder.apply(
+                    frozen.image_vars, imgs[-1], train=False)
+                s_loss = w_loss = a_loss = jnp.float32(0)
+                if need_s:
+                    s0, s1 = damsm_losses.sent_loss(code, sent, class_ids,
+                                                    sm.GAMMA3)
+                    s_loss = (s0 + s1) * sm.LAMBDA * sent_coe
+                if need_w and use_pallas_damsm:
+                    from eegan_tpu.ops.damsm_pallas import words_loss_pallas
+                    w0, w1 = words_loss_pallas(
+                        region, words, batch["cap_lens"], class_ids,
+                        sm.GAMMA1, sm.GAMMA2, sm.GAMMA3)
+                    w_loss = (w0 + w1) * sm.LAMBDA * words_coe
+                elif need_w:
+                    w0, w1 = damsm_losses.words_loss(
+                        region, words, batch["cap_lens"], class_ids,
+                        sm.GAMMA1, sm.GAMMA2, sm.GAMMA3)
+                    w_loss = (w0 + w1) * sm.LAMBDA * words_coe
+                if need_a:
+                    a0, a1 = damsm_losses.sent_loss(code, merged, class_ids,
+                                                    sm.GAMMA3)
+                    a_loss = (a0 + a1) * sm.LAMBDA * attr_coe
             total = total + sim_coe * (s_loss + w_loss + a_loss)
             aux.update({"errG/s_loss": s_loss, "errG/w_loss": w_loss,
                         "errG/a_loss": a_loss, "errG/total": total})
@@ -276,9 +324,10 @@ def build_train_step_fn(config: Config, models: ModelBundle):
 
 
 def make_train_step(config: Config, models: ModelBundle,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
+                    mesh: Optional[Mesh] = None, donate: bool = True,
+                    ablate: frozenset = frozenset()):
     """Build the jitted train step: (state, frozen, batch, rng) -> (state, metrics)."""
-    train_step = build_train_step_fn(config, models)
+    train_step = build_train_step_fn(config, models, ablate=ablate)
     donate_args = (0,) if donate else ()
     if mesh is not None:
         repl = NamedSharding(mesh, P())

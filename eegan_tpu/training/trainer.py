@@ -95,7 +95,8 @@ class Trainer:
         if dataset is None:
             from eegan_tpu.data.datasets import TextImageDataset
 
-            dataset = TextImageDataset(config, split="train")
+            dataset = TextImageDataset(config, split="train",
+                                       preload=config.RUNTIME.DATA_PRELOAD)
         self.dataset = dataset
         self.n_words = dataset.n_words
         self.ixtoword = dataset.ixtoword

@@ -229,3 +229,58 @@ def test_convert_checkpoints_cli(ref_models, tmp_path, monkeypatch):
                                imgs_t[-1].numpy().transpose(0, 2, 3, 1),
                                atol=2e-4, rtol=1e-3)
     mgr.close()
+
+
+@pytest.mark.slow
+def test_convert_checkpoints_verify_rehearsal(ref_models, tmp_path,
+                                              monkeypatch):
+    """VERDICT r2 #7: `--verify` runs conversion -> activation parity ->
+    FID smoke in one command on synthetic .pth artefacts, and fails loudly
+    (non-zero exit) when a weight is corrupted."""
+    torch, ref = ref_models
+    torch.manual_seed(5)
+    NGF = 8
+    gen_t = ref.Gen(NGF, 100).eval()
+    attr_t = ref.ATTR_Enhance(256).eval()
+
+    g_pth = str(tmp_path / "netG_9.pth")
+    a_pth = str(tmp_path / "attr_enhance_9.pth")
+    torch.save(gen_t.state_dict(), g_pth)
+    torch.save(attr_t.state_dict(), a_pth)
+
+    # Synthetic AttnGAN DAMSM pair: torch LSTM text encoder + the exact
+    # torchvision-layout image-encoder oracle.
+    rnn = torch.nn.LSTM(300, 128, batch_first=True, bidirectional=True)
+    emb = torch.nn.Embedding(50, 300)
+    text_sd = {"encoder.weight": emb.weight.detach(),
+               **{f"rnn.{k}": v.detach() for k, v in rnn.state_dict().items()}}
+    t_pth = str(tmp_path / "text_encoder9.pth")
+    torch.save(text_sd, t_pth)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_inception_ref import RefCNNEncoder, randomize
+
+    cnn = RefCNNEncoder(nef=256)
+    randomize(cnn, seed=9)
+    torch.save(cnn.state_dict(), t_pth.replace("text_encoder",
+                                               "image_encoder"))
+
+    import convert_checkpoints as cc
+
+    argv = ["convert_checkpoints.py", "--cfg", "cfg/bird.yml",
+            "--n_words", "50", "--netG", g_pth, "--attr_enhance", a_pth,
+            "--damsm", t_pth, "--epoch", "9",
+            "--out_model_dir", str(tmp_path / "Model"), "--verify",
+            "--set", "GAN.GF_DIM=8", "--set",
+            "RUNTIME.COMPUTE_DTYPE=float32"]
+    monkeypatch.setattr(sys, "argv", argv)
+    cc.main()  # must not raise: all oracles match
+
+    # Corrupt one generator weight: --verify must exit non-zero.
+    sd = torch.load(g_pth, weights_only=False)
+    key = next(k for k in sd if k.endswith("weight") and sd[k].ndim == 4)
+    sd[key] = sd[key] + 1.0
+    torch.save(sd, g_pth)
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(SystemExit):
+        cc.main()

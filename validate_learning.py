@@ -116,7 +116,8 @@ class ColorDataset:
 
 def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
          clip: float = 0.0, damsm_steps: int = 300,
-         sim_coe: float = 0.25, class_coe: float = 2.0):
+         sim_coe: float = 0.25, class_coe: float = 2.0, seed: int = 0,
+         ema: float = 0.995, check: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -139,14 +140,15 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
     # Probe the EMA generator: adversarial training on a degenerate 8-mode
     # task orbits the modes (observed: 6/8 at 3k steps, 2/8 at 8k with raw
     # params — the snapshot catches G mid-orbit); the EMA averages the orbit.
-    c.TRAIN.G_EMA_DECAY = 0.995
+    c.TRAIN.G_EMA_DECAY = ema
     c.RUNTIME.COMPUTE_DTYPE = dtype
 
     mesh = make_mesh("data:-1")
     ds = ColorDataset(c)
     models = build_models(c, n_words=ds.n_words)
-    state, frozen = create_train_state(c, models, jax.random.PRNGKey(0))
-    pipe = DataPipeline(ds, batch, seed=0, num_workers=0)
+    state, frozen = create_train_state(c, models,
+                                       jax.random.PRNGKey(1000 + seed))
+    pipe = DataPipeline(ds, batch, seed=seed, num_workers=0)
 
     # The dev tunnel gives ~50MB/s host->device, so per-step batch upload
     # would dominate. The probe's data distribution cycles, so pre-upload a
@@ -162,7 +164,7 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
     damsm_step, damsm_init = make_damsm_train_step(c, models, mesh)
     text_vars, image_vars = frozen.text_vars, frozen.image_vars
     opt_states = damsm_init(text_vars, image_vars)
-    rng = jax.random.PRNGKey(11)
+    rng = jax.random.PRNGKey(11 + seed)
     for done in range(1, damsm_steps + 1):
         rng, sub = jax.random.split(rng)
         text_vars, image_vars, opt_states, dm = damsm_step(
@@ -221,7 +223,7 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
 
     step = make_train_step(c, models, mesh=mesh, donate=True)
     sample = make_sample_step(c, models)
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.PRNGKey(1 + 7919 * seed)
     probe_every = 250
     best, best_step, best_kind = -1, 0, "raw"
     for done in range(1, steps + 1):
@@ -253,9 +255,16 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
     # the trajectory is seed- and even compiled-program-variant-sensitive,
     # peaking anywhere between 4/8 and 6/8 near step 3000.
     assert best >= 4, f"best sweep score {best}/{k} — conditioning not shown"
-    assert correct >= 2, f"final state collapsed to {correct}/{k}"
-    print("LEARNING PROBE PASSED "
-          f"(best {best}/{k} @ step {best_step}, final {correct}/{k})")
+    passed = best >= 4 and correct >= 2
+    result = {"best": best, "best_step": best_step, "final": correct,
+              "k": k, "passed": passed, "seed": seed}
+    if check:
+        assert best >= 4, \
+            f"best sweep score {best}/{k} — conditioning not shown"
+        assert correct >= 2, f"final state collapsed to {correct}/{k}"
+        print("LEARNING PROBE PASSED "
+              f"(best {best}/{k} @ step {best_step}, final {correct}/{k})")
+    return result
 
 
 if __name__ == "__main__":
@@ -267,6 +276,11 @@ if __name__ == "__main__":
     p.add_argument("--damsm_steps", type=int, default=300)
     p.add_argument("--sim_coe", type=float, default=0.25)
     p.add_argument("--class_coe", type=float, default=2.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ema", type=float, default=0.995)
+    p.add_argument("--no_check", action="store_true",
+                   help="report without asserting (campaign mode)")
     a = p.parse_args()
     main(steps=a.steps, batch=a.batch, dtype=a.dtype, clip=a.clip,
-         damsm_steps=a.damsm_steps, sim_coe=a.sim_coe, class_coe=a.class_coe)
+         damsm_steps=a.damsm_steps, sim_coe=a.sim_coe, class_coe=a.class_coe,
+         seed=a.seed, ema=a.ema, check=not a.no_check)
