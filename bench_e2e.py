@@ -22,6 +22,8 @@ Env knobs:
   EEGAN_E2E_BATCH   per-chip batch           (default 32)
   EEGAN_E2E_PRELOAD 1 = decoded-RAM cache + native OpenMP batch assembly,
                     0 = per-step PIL decode  (default 1)
+  EEGAN_E2E_UINT8   1 = RUNTIME.UINT8_TRANSFER (uint8 pyramids, 4x smaller
+                    host->device transfer, on-device normalise; default 0)
   EEGAN_E2E_WORKERS fork worker processes    (default 0; host has 1 core)
   EEGAN_E2E_SCAN    steps per dispatch       (default 8)
   EEGAN_E2E_DATA    use an existing corpus dir instead of building one
@@ -40,6 +42,7 @@ N_IMAGES = int(os.environ.get("EEGAN_E2E_IMAGES", "1024"))
 EPOCHS = int(os.environ.get("EEGAN_E2E_EPOCHS", "2"))
 BATCH = int(os.environ.get("EEGAN_E2E_BATCH", "32"))
 PRELOAD = os.environ.get("EEGAN_E2E_PRELOAD", "1") == "1"
+UINT8 = os.environ.get("EEGAN_E2E_UINT8", "0") == "1"
 WORKERS = int(os.environ.get("EEGAN_E2E_WORKERS", "0"))
 SCAN = int(os.environ.get("EEGAN_E2E_SCAN", "8"))
 
@@ -75,6 +78,7 @@ def main():
     c.RUNTIME.STEPS_PER_DISPATCH = SCAN
     c.RUNTIME.DATA_PRELOAD = PRELOAD
     c.RUNTIME.DATA_WORKERS = WORKERS
+    c.RUNTIME.UINT8_TRANSFER = UINT8
 
     out_dir = tempfile.mkdtemp(prefix="eegan_e2e_out_")
     trainer = Trainer(c, out_dir, data_workers=WORKERS)
@@ -103,7 +107,8 @@ def main():
         # ratio to the device-only synthetic-batch headline (PERF.md §3).
         "vs_baseline": round(rate / 136.7, 3),
         "epochs": EPOCHS, "iters_per_epoch": n_iters,
-        "batch": BATCH, "preload": PRELOAD, "workers": WORKERS,
+        "batch": BATCH, "preload": PRELOAD, "uint8": UINT8,
+        "workers": WORKERS,
         "steps_per_dispatch": SCAN, "corpus_images": N_IMAGES,
     }))
 

@@ -146,6 +146,12 @@ class RuntimeConfig:
     # the zero-IPC fast path for hosts where per-step JPEG decode can't
     # keep up with the device (bench_e2e.py measures both).
     DATA_PRELOAD: bool = False
+    # Ship image pyramids host->device as uint8 [0, 255] (4x smaller
+    # transfer) and normalise to [-1, 1] on device inside the jitted step.
+    # Matches the reference MORE closely than the float path (torchvision
+    # ToTensor reads quantised PIL images); differs from our float path by
+    # at most 0.5/127.5 per pixel (tests/test_data.py).
+    UINT8_TRANSFER: bool = False
 
 
 @dataclass

@@ -115,8 +115,12 @@ class TextImageDataset:
     """Training dataset (reference `TextDataset`, datasets.py:192-445)."""
 
     def __init__(self, config: Config, split: str = "train",
-                 attr_name: str = "EE-GAN", preload: bool = False):
+                 attr_name: str = "EE-GAN", preload: bool = False,
+                 uint8_images: bool = False):
         self.config = config
+        # RUNTIME.UINT8_TRANSFER: emit uint8 [0,255] pyramids (4x smaller
+        # host->device transfer); the jitted step normalises on device.
+        self.uint8_images = uint8_images
         self.split = split
         self.data_dir = config.DATA_DIR
         self.imsizes = config.imsizes
@@ -138,8 +142,8 @@ class TextImageDataset:
                            if self.use_attr else None)
 
         # Optional decoded-image cache: JPEG decode + bbox crop happen once
-        # here; worker processes inherit the arrays copy-on-write via fork.
-        # Keeps the host pipeline ahead of the chip (~4.7k img/s train step).
+        # here; worker processes inherit the arrays copy-on-write via fork,
+        # and batch assembly collapses to one native OpenMP call per batch.
         self._decoded = None
         if preload:
             self._decoded = self._preload_images()
@@ -178,7 +182,7 @@ class TextImageDataset:
 
         pyramids = native.batch_pyramid_varsize(
             [self._decoded[i] for i in indices], crops, target, base,
-            self.imsizes)
+            self.imsizes, as_uint8=self.uint8_images)
         out = {f"img{sz}": arr for sz, arr in zip(self.imsizes, pyramids)}
         for k in texts[0]:
             out[k] = np.stack([t[k] for t in texts])
@@ -268,10 +272,12 @@ class TextImageDataset:
             from eegan_tpu.data.transforms import pyramid_from_array
 
             pyramid = pyramid_from_array(self._decoded[index], self.imsizes,
-                                         rng, augment=augment)
+                                         rng, augment=augment,
+                                         as_uint8=self.uint8_images)
         else:
             pyramid = load_image_pyramid(self.image_path(key), self.imsizes,
-                                         bbox, rng, augment=augment)
+                                         bbox, rng, augment=augment,
+                                         as_uint8=self.uint8_images)
 
         out: Dict[str, np.ndarray] = {
             f"img{s}": im for s, im in zip(self.imsizes, pyramid)}

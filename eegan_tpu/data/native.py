@@ -61,6 +61,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+        lib.batch_pyramid_varsize_u8.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
         _lib = lib
         return _lib
 
@@ -84,14 +90,18 @@ def resize_bilinear(img: np.ndarray, out_hw) -> np.ndarray:
 
 
 def batch_pyramid_varsize(images, crops: np.ndarray, target: int, base: int,
-                          sizes: Sequence[int]) -> List[np.ndarray]:
+                          sizes: Sequence[int],
+                          as_uint8: bool = False) -> List[np.ndarray]:
     """Batch augment over differently-sized decoded uint8 images.
 
     images: list of (H_i, W_i, C) uint8 arrays; crops: (B, 3) int32
     (y, x, flip) in the shorter-side=``target`` resized frame.
     Per image: resize shorter side to `target`, crop `base`², optional
-    hflip, per-branch resize + normalise to [-1, 1]. OpenMP-parallel, one
-    C call per batch (zero IPC — the TPU-host feeding path).
+    hflip, per-branch resize + normalise to [-1, 1] float32 — or, with
+    ``as_uint8``, Pillow-rounded uint8 in [0, 255] (4x smaller
+    host->device transfer; the jitted step normalises on device).
+    OpenMP-parallel, one C call per batch (zero IPC — the TPU-host
+    feeding path).
     """
     lib = get_lib()
     assert lib is not None
@@ -104,14 +114,16 @@ def batch_pyramid_varsize(images, crops: np.ndarray, target: int, base: int,
         [[im.shape[0], im.shape[1]] for im in images], dtype=np.int32)
     crops = np.ascontiguousarray(crops, dtype=np.int32)
     sizes_arr = np.ascontiguousarray(sizes, dtype=np.int32)
-    outs = [np.empty((b, s, s, c), np.float32) for s in sizes]
-    optrs = (ctypes.POINTER(ctypes.c_float) * len(outs))(
-        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for o in outs])
-    lib.batch_pyramid_varsize(
-        ptrs, dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), b, c,
-        target, base, crops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        sizes_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(sizes),
-        optrs)
+    out_dtype = np.uint8 if as_uint8 else np.float32
+    ctype = ctypes.c_uint8 if as_uint8 else ctypes.c_float
+    outs = [np.empty((b, s, s, c), out_dtype) for s in sizes]
+    optrs = (ctypes.POINTER(ctype) * len(outs))(
+        *[o.ctypes.data_as(ctypes.POINTER(ctype)) for o in outs])
+    fn = lib.batch_pyramid_varsize_u8 if as_uint8 else lib.batch_pyramid_varsize
+    fn(ptrs, dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), b, c,
+       target, base, crops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+       sizes_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(sizes),
+       optrs)
     return outs
 
 

@@ -57,15 +57,25 @@ def to_normalized_array(img: Image.Image) -> np.ndarray:
     return arr * 2.0 - 1.0
 
 
+def quantize_u8(arr: np.ndarray) -> np.ndarray:
+    """float [0, 255] -> uint8 with Pillow/native rounding (half away from
+    zero on the clamped value — matches `image_ops.cpp` lround)."""
+    return np.floor(np.clip(arr, 0.0, 255.0) + 0.5).astype(np.uint8)
+
+
 def pyramid_from_array(arr: np.ndarray, imsizes: Sequence[int],
                        rng: Optional[np.random.Generator],
                        augment: bool = True,
-                       use_native: bool = True) -> List[np.ndarray]:
+                       use_native: bool = True,
+                       as_uint8: bool = False) -> List[np.ndarray]:
     """Pyramid from a decoded uint8 HWC array (post bbox-crop).
 
     Same augmentation semantics as `load_image_pyramid`; used by the
     preload-cache fast path (datasets.TextImageDataset(preload=True)) where
-    JPEG decode happens once up front.
+    JPEG decode happens once up front. With ``as_uint8`` branches are
+    emitted as uint8 in [0, 255] (RUNTIME.UINT8_TRANSFER: 4x smaller
+    host->device transfer, on-device normalisation) instead of [-1, 1]
+    float32.
     """
     from eegan_tpu.data import native
 
@@ -101,20 +111,25 @@ def pyramid_from_array(arr: np.ndarray, imsizes: Sequence[int],
     crop_u8 = np.clip(crop, 0, 255).astype(np.uint8)
     for s in imsizes:
         if s == base:
-            out.append(crop / 127.5 - 1.0)
+            branch = crop
         elif have_native:
-            out.append(native.resize_bilinear(crop_u8, (s, s)) / 127.5 - 1.0)
+            branch = native.resize_bilinear(crop_u8, (s, s))
         else:
             img = Image.fromarray(crop_u8).resize((s, s), Image.BILINEAR)
-            out.append(np.asarray(img, np.float32) / 127.5 - 1.0)
-    return [o.astype(np.float32) for o in out]
+            branch = np.asarray(img, np.float32)
+        if as_uint8:
+            out.append(quantize_u8(branch))
+        else:
+            out.append((branch / 127.5 - 1.0).astype(np.float32))
+    return out
 
 
 def load_image_pyramid(path: str, imsizes: Sequence[int],
                        bbox: Optional[Sequence[int]],
                        rng: Optional[np.random.Generator],
                        augment: bool = True,
-                       use_native: bool = True) -> List[np.ndarray]:
+                       use_native: bool = True,
+                       as_uint8: bool = False) -> List[np.ndarray]:
     """Full per-sample image path -> [img64, img128, img256] float32 NHWC.
 
     Mirrors `TextDataset.get_imgs` (reference `datasets.py:391-424`): the
@@ -148,11 +163,15 @@ def load_image_pyramid(path: str, imsizes: Sequence[int],
             for s in imsizes:
                 branch = (arr.astype(np.float32) if s == base
                           else native.resize_bilinear(arr, (s, s)))
-                out.append(branch / 127.5 - 1.0)
+                out.append(quantize_u8(branch) if as_uint8
+                           else (branch / 127.5 - 1.0).astype(np.float32))
             return out
 
     out = []
     for s in imsizes:
         branch = img if s == base else img.resize((s, s), Image.BILINEAR)
-        out.append(to_normalized_array(branch))
+        if as_uint8:
+            out.append(np.asarray(branch, dtype=np.uint8))
+        else:
+            out.append(to_normalized_array(branch))
     return out

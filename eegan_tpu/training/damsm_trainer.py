@@ -45,6 +45,9 @@ def make_damsm_train_step(config: Config, models: ModelBundle, mesh=None):
                 image_tx.init(image_vars["params"]))
 
     def step(text_vars, image_vars, opt_states, batch, rng):
+        from eegan_tpu.training.steps import normalize_image_leaves
+
+        batch = normalize_image_leaves(batch)
         text_opt, image_opt = opt_states
 
         def loss_fn(params):

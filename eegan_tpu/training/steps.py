@@ -40,6 +40,22 @@ from eegan_tpu.training.state import FrozenEncoders, TrainState, make_optimizers
 Batch = Dict[str, jnp.ndarray]
 
 
+def normalize_image_leaves(batch: Batch) -> Batch:
+    """On-device ToTensor+Normalize for RUNTIME.UINT8_TRANSFER batches.
+
+    The host ships uint8 [0, 255] pyramids (4x smaller transfer); this
+    converts them to the float32 [-1, 1] layout the losses expect, inside
+    the jitted step where XLA fuses it into the first consumer. Float
+    batches pass through untouched (jit specialises on input dtype, so
+    there is no runtime branch).
+    """
+    out = dict(batch)
+    for k, v in batch.items():
+        if k.startswith("img") and hasattr(v, "dtype") and v.dtype == jnp.uint8:
+            out[k] = v.astype(jnp.float32) / 127.5 - 1.0
+    return out
+
+
 def encode_text_bundle(models: ModelBundle, frozen: FrozenEncoders,
                        config: Config, batch: Batch):
     """One BiLSTM forward over [caps; unpair; attrs] (5B sequences).
@@ -185,6 +201,7 @@ def build_train_step_fn(config: Config, models: ModelBundle,
 
     def train_step(state: TrainState, frozen: FrozenEncoders, batch: Batch,
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        batch = normalize_image_leaves(batch)
         if "text" in ablate:
             b_, t_ = batch["caps"].shape
             d_ = config.TEXT.EMBEDDING_DIM

@@ -95,8 +95,10 @@ class Trainer:
         if dataset is None:
             from eegan_tpu.data.datasets import TextImageDataset
 
-            dataset = TextImageDataset(config, split="train",
-                                       preload=config.RUNTIME.DATA_PRELOAD)
+            dataset = TextImageDataset(
+                config, split="train",
+                preload=config.RUNTIME.DATA_PRELOAD,
+                uint8_images=config.RUNTIME.UINT8_TRANSFER)
         self.dataset = dataset
         self.n_words = dataset.n_words
         self.ixtoword = dataset.ixtoword

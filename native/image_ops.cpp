@@ -142,13 +142,17 @@ void batch_pyramid(const uint8_t* src, int B, int sh, int sw, int c,
 
 // Variable-size batch pipeline over preloaded decoded images:
 // per image i: shorter-side resize to `target` -> crop (y,x,base,base) ->
-// optional hflip -> quantise to u8 -> per-branch resize -> [-1,1] float.
+// optional hflip -> quantise to u8 -> per-branch resize -> [-1,1] float
+// (out_u8 == 0, outs[k] is float32) or Pillow-rounded uint8 in [0, 255]
+// (out_u8 == 1, outs[k] is uint8 — the 4x-smaller host->device transfer
+// layout; normalisation then happens on-device inside the jitted step).
 // srcs: B pointers to uint8 HWC images with dims[i*2]=h, dims[i*2+1]=w.
 // crops: B x 3 ints (y, x, flip) in the resized coordinate frame.
-// outs[k]: B x (sizes[k], sizes[k], c) float32.
-void batch_pyramid_varsize(const uint8_t** srcs, const int* dims, int B,
-                           int c, int target, int base, const int* crops,
-                           const int* sizes, int K, float** outs) {
+// outs[k]: B x (sizes[k], sizes[k], c).
+static void pyramid_varsize_impl(const uint8_t** srcs, const int* dims, int B,
+                                 int c, int target, int base, const int* crops,
+                                 const int* sizes, int K, void** outs,
+                                 int out_u8) {
 #pragma omp parallel for schedule(dynamic)
   for (int b = 0; b < B; ++b) {
     const int sh = dims[b * 2], sw = dims[b * 2 + 1];
@@ -185,19 +189,46 @@ void batch_pyramid_varsize(const uint8_t** srcs, const int* dims, int B,
         }
       }
     }
+    std::vector<float> branch;
     for (int k = 0; k < K; ++k) {
       const int s = sizes[k];
-      float* out = outs[k] + static_cast<size_t>(b) * s * s * c;
       const size_t n = static_cast<size_t>(s) * s * c;
+      const float* src_f;
       if (s == base) {
-        for (size_t i = 0; i < n; ++i)
-          out[i] = crop_f[i] * (1.f / 127.5f) - 1.f;
+        src_f = crop_f.data();
       } else {
-        resize_one(crop_u8.data(), base, base, c, out, s, s);
-        for (size_t i = 0; i < n; ++i) out[i] = out[i] * (1.f / 127.5f) - 1.f;
+        branch.resize(n);
+        resize_one(crop_u8.data(), base, base, c, branch.data(), s, s);
+        src_f = branch.data();
+      }
+      if (out_u8) {
+        uint8_t* out = static_cast<uint8_t*>(outs[k]) +
+                       static_cast<size_t>(b) * n;
+        for (size_t i = 0; i < n; ++i) {
+          const float q = std::min(std::max(src_f[i], 0.f), 255.f);
+          out[i] = static_cast<uint8_t>(std::lround(q));
+        }
+      } else {
+        float* out = static_cast<float*>(outs[k]) + static_cast<size_t>(b) * n;
+        for (size_t i = 0; i < n; ++i)
+          out[i] = src_f[i] * (1.f / 127.5f) - 1.f;
       }
     }
   }
+}
+
+void batch_pyramid_varsize(const uint8_t** srcs, const int* dims, int B,
+                           int c, int target, int base, const int* crops,
+                           const int* sizes, int K, float** outs) {
+  pyramid_varsize_impl(srcs, dims, B, c, target, base, crops, sizes, K,
+                       reinterpret_cast<void**>(outs), /*out_u8=*/0);
+}
+
+void batch_pyramid_varsize_u8(const uint8_t** srcs, const int* dims, int B,
+                              int c, int target, int base, const int* crops,
+                              const int* sizes, int K, uint8_t** outs) {
+  pyramid_varsize_impl(srcs, dims, B, c, target, base, crops, sizes, K,
+                       reinterpret_cast<void**>(outs), /*out_u8=*/1);
 }
 
 }  // extern "C"

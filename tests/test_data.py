@@ -161,6 +161,62 @@ def test_preload_cache_equivalent_shapes(corpus):
     np.testing.assert_array_equal(s["img128"], s2["img128"])
 
 
+def test_uint8_transfer_matches_float_path(corpus):
+    """RUNTIME.UINT8_TRANSFER: uint8 pyramids, once normalised on device,
+    sit within half an LSB of the float path (and the batched native path
+    matches the per-sample path bit-for-bit)."""
+    c = make_config(corpus)
+    ds_f = TextImageDataset(c, split="train", preload=True)
+    ds_u = TextImageDataset(c, split="train", preload=True,
+                            uint8_images=True)
+    for index in (0, 1):
+        s_f = ds_f.sample(index, np.random.default_rng([4, 5, index]))
+        s_u = ds_u.sample(index, np.random.default_rng([4, 5, index]))
+        for k in ("img64", "img128", "img256"):
+            assert s_u[k].dtype == np.uint8
+            dev_norm = s_u[k].astype(np.float32) / 127.5 - 1.0
+            # float path keeps unquantised resample values; uint8 path
+            # rounds them — max divergence is half an LSB.
+            assert np.abs(dev_norm - s_f[k]).max() <= 0.5 / 127.5 + 1e-6
+
+    from eegan_tpu.data import native
+
+    if native.available():
+        idxs = [0, 1, 2]
+        batch = ds_u.sample_batch(
+            idxs, [np.random.default_rng([9, 1, i]) for i in idxs])
+        singles = [ds_u.sample(i, np.random.default_rng([9, 1, i]))
+                   for i in idxs]
+        for k in batch:
+            assert batch[k].dtype == singles[0][k].dtype
+            stacked = np.stack([s[k] for s in singles])
+            if batch[k].dtype == np.uint8:
+                # rounding may differ by 1 LSB where the per-sample path
+                # quantises through a different float summation order
+                assert np.abs(batch[k].astype(np.int16)
+                              - stacked.astype(np.int16)).max() <= 1
+            else:
+                np.testing.assert_allclose(batch[k], stacked, atol=2e-5,
+                                           err_msg=k)
+
+
+def test_normalize_image_leaves():
+    import jax.numpy as jnp
+
+    from eegan_tpu.training.steps import normalize_image_leaves
+
+    batch = {"img64": jnp.asarray(np.array([[0, 128, 255]], np.uint8)),
+             "img256": jnp.ones((1, 2), jnp.float32) * 0.5,
+             "caps": jnp.zeros((1, 3), jnp.int32)}
+    out = normalize_image_leaves(batch)
+    np.testing.assert_allclose(
+        np.asarray(out["img64"]),
+        np.array([[0, 128, 255]], np.float32) / 127.5 - 1.0)
+    # float leaves and non-image leaves pass through untouched
+    assert out["img256"] is batch["img256"]
+    assert out["caps"] is batch["caps"]
+
+
 def test_sample_batch_matches_per_sample(corpus):
     from eegan_tpu.data import native
 

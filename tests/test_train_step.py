@@ -80,6 +80,32 @@ def test_train_step_runs_and_updates(setup):
     assert np.isfinite(float(m2["errG/total"]))
 
 
+def test_train_step_uint8_batch_matches_float(setup):
+    """RUNTIME.UINT8_TRANSFER end-to-end: a uint8 image batch produces the
+    same step as the float batch holding the identical quantised values
+    (the on-device normalise is the only difference, and it is exact)."""
+    c, models, state, frozen = setup
+    mesh = make_mesh("data:8")
+    step_fn = make_train_step(c, models, mesh=mesh, donate=False)
+
+    host = synthetic_batch(c, 8, n_words=N_WORDS)
+    host_u8, host_f = dict(host), dict(host)
+    for k in list(host):
+        if k.startswith("img"):
+            u8 = np.floor(np.clip((host[k] + 1.0) * 127.5, 0, 255) + 0.5
+                          ).astype(np.uint8)
+            host_u8[k] = u8
+            host_f[k] = (u8.astype(np.float32) / 127.5 - 1.0)
+
+    s_u8, m_u8 = step_fn(state, frozen, shard_batch(host_u8, mesh),
+                         jax.random.PRNGKey(3))
+    s_f, m_f = step_fn(state, frozen, shard_batch(host_f, mesh),
+                       jax.random.PRNGKey(3))
+    for k in m_f:
+        np.testing.assert_allclose(float(m_u8[k]), float(m_f[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_global_batchnorm_matches_single_device(setup):
     """Cross-replica BN: sharded 8-way result == unsharded result.
 
