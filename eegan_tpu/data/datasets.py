@@ -241,19 +241,23 @@ class TextImageDataset:
 
         from eegan_tpu.data.transforms import bbox_crop
 
+        from eegan_tpu.data.transforms import resize_shorter_side
+
+        # Cache at the augmentation frame: the shorter-side resize to
+        # base*76/64 is deterministic per image (only crop/flip are
+        # random), so doing it once here removes the dominant per-step
+        # resize from the hot path — batch assembly degenerates to
+        # crop + flip + the two small pyramid downsizes. The per-step
+        # shorter-side "resize" over the cached image is an exact
+        # identity under the triangle filter (scale == 1).
+        target = int(self.imsizes[-1] * 76 / 64)
+
         def decode(index):
             key = self.filenames[index]
             img = Image.open(self.image_path(key)).convert("RGB")
             if self.bbox is not None:
                 img = bbox_crop(img, self.bbox[key])
-            # pre-shrink very large sources: the pipeline never needs more
-            # than ~1.6x the base resolution
-            limit = self.imsizes[-1] * 2
-            if min(img.size) > limit:
-                w, h = img.size
-                scale = limit / min(w, h)
-                img = img.resize((int(w * scale), int(h * scale)),
-                                 Image.BILINEAR)
+            img = resize_shorter_side(img, target)
             return np.asarray(img, dtype=np.uint8)
 
         with ThreadPoolExecutor(max_workers=16) as pool:

@@ -89,7 +89,11 @@ def pyramid_from_array(arr: np.ndarray, imsizes: Sequence[int],
     else:
         oh, ow = target, max(1, int(round(target * w / h)))
 
-    if have_native:
+    if (oh, ow) == (h, w):
+        # already at the augmentation frame (preload caches there); the
+        # scale-1 triangle filter is an exact identity
+        resized = arr.astype(np.float32)
+    elif have_native:
         resized = native.resize_bilinear(arr, (oh, ow))  # float32 [0,255]
     else:
         img = Image.fromarray(arr).resize((ow, oh), Image.BILINEAR)

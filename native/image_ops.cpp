@@ -60,6 +60,13 @@ static void build_taps(int src, int dst, std::vector<Tap>& taps,
 
 static void resize_one(const uint8_t* src, int sh, int sw, int c,
                        float* dst, int dh, int dw) {
+  if (sh == dh && sw == dw) {
+    // scale == 1 makes the triangle filter an exact identity (the two
+    // neighbour taps get weight 0); skip straight to the u8->f32 copy.
+    const size_t n = static_cast<size_t>(sh) * sw * c;
+    for (size_t i = 0; i < n; ++i) dst[i] = static_cast<float>(src[i]);
+    return;
+  }
   std::vector<Tap> xt, yt;
   std::vector<float> xc, yc;
   build_taps(sw, dw, xt, xc);
@@ -166,8 +173,15 @@ static void pyramid_varsize_impl(const uint8_t** srcs, const int* dims, int B,
       ow = std::max(1, static_cast<int>(std::lround(
                            static_cast<double>(target) * sw / sh)));
     }
-    std::vector<float> resized(static_cast<size_t>(oh) * ow * c);
-    resize_one(srcs[b], sh, sw, c, resized.data(), oh, ow);
+    // When the source is already at the augmentation frame (the preload
+    // cache resizes there up front), the scale-1 resize is an exact
+    // identity — crop straight from the uint8 source instead.
+    const bool ident = (oh == sh && ow == sw);
+    std::vector<float> resized;
+    if (!ident) {
+      resized.resize(static_cast<size_t>(oh) * ow * c);
+      resize_one(srcs[b], sh, sw, c, resized.data(), oh, ow);
+    }
 
     const int cy = crops[b * 3 + 0], cx = crops[b * 3 + 1];
     const int flip = crops[b * 3 + 2];
@@ -176,13 +190,13 @@ static void pyramid_varsize_impl(const uint8_t** srcs, const int* dims, int B,
     for (int y = 0; y < base; ++y) {
       for (int x = 0; x < base; ++x) {
         const int sx = flip ? (base - 1 - x) : x;
-        const float* src_px =
-            resized.data() + (static_cast<size_t>(cy + y) * ow + cx + sx) * c;
+        const size_t off = (static_cast<size_t>(cy + y) * ow + cx + sx) * c;
         float* dstf = crop_f.data() + (static_cast<size_t>(y) * base + x) * c;
         uint8_t* dstu =
             crop_u8.data() + (static_cast<size_t>(y) * base + x) * c;
         for (int ch = 0; ch < c; ++ch) {
-          const float v = src_px[ch];
+          const float v = ident ? static_cast<float>(srcs[b][off + ch])
+                                : resized[off + ch];
           dstf[ch] = v;
           const float q = std::min(std::max(v, 0.f), 255.f);
           dstu[ch] = static_cast<uint8_t>(q);
