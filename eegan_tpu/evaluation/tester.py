@@ -165,11 +165,17 @@ class Tester:
         sub = rng.integers(0, ds.embeddings_num, size=(b, n_wrong))
         return img_idx * ds.embeddings_num + sub
 
-    def _r_precision_batch(self, batch, img256: np.ndarray, r_val: int,
+    def _r_precision_batch(self, batch, img256, r_val: int,
                            rng: np.random.Generator) -> np.ndarray:
         """Per-sample: cosine-rank the true caption among r_val-1 wrong ones
         (reference `cal_sim_one_by_one`, test.py:306-357), batched; wrong
-        captions come from the per-sweep embedding cache."""
+        captions come from the per-sweep embedding cache.
+
+        ``img256`` may be (and in the sweep is) the sample step's
+        device-resident output: the image encoder consumes it in place, so
+        the only device->host traffic per batch is the (B, D) code — not
+        the 50 MB image batch that a host round-trip would cost twice on
+        a tunneled link."""
         cache = self._caption_cache(rng)
         wrong_idx = self._sample_wrong_indices(
             np.asarray(batch["class_ids"]), rng, r_val - 1)
@@ -180,7 +186,7 @@ class Tester:
             jnp.asarray(batch["cap_lens"])))  # (B, D)
         sent = np.concatenate([true[:, None, :], wrong], axis=1)  # (B, r, D)
         code = np.asarray(self._encode_image(
-            self.frozen.image_vars, jnp.asarray(img256)))
+            self.frozen.image_vars, img256))
 
         sims = np.einsum("bd,brd->br", code, sent)
         sims /= np.maximum(
@@ -227,15 +233,16 @@ class Tester:
                 jnp.asarray(batch["caps"]), jnp.asarray(batch["cap_lens"]),
                 jnp.asarray(batch["attrs"]), jnp.asarray(batch["attr_lens"]),
                 key)
-            img256 = np.asarray(imgs[-1])
-            take = min(len(img256), sampling_nums - produced)
+            dev256 = imgs[-1]  # stays on device unless PNGs are written
+            take = min(dev256.shape[0], sampling_nums - produced)
             if saving_images:
+                img256 = np.asarray(dev256)
                 names = [f"{k.replace('/', '_')}_{batch_idx}_{j}"
                          for j, k in enumerate(batch["keys"])]
                 q.put((img256[:take], names[:take]))
 
             if compute_r_precision:
-                hits.append(self._r_precision_batch(batch, img256, r_val, rng))
+                hits.append(self._r_precision_batch(batch, dev256, r_val, rng))
 
             produced += take
             batch_idx += 1
