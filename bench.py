@@ -65,11 +65,21 @@ CALIBRATE = os.environ.get("EEGAN_BENCH_CALIBRATE", "1") == "1"
 
 
 def fetch_scalar(metrics) -> float:
-    """Force execution: pull one value out of the program's outputs."""
+    """Force execution: pull one value out of the program's outputs.
+
+    Also asserts the value is finite — a benchmark of a program computing
+    NaNs is not a benchmark (this caught a real backend miscompile of the
+    strided DiscCond head backward; see models/discriminator.py).
+    """
     import numpy as np
 
     v = np.asarray(metrics["errG/total"])
-    return float(v[-1] if v.ndim else v)
+    out = float(v[-1] if v.ndim else v)
+    if not np.isfinite(out):
+        raise AssertionError(
+            f"benched program computed a non-finite errG/total ({out}) — "
+            "timing it would be meaningless; fix the numerics first")
+    return out
 
 
 def calibrate_matmul_tflops(chain: int = 16) -> float:

@@ -104,10 +104,17 @@ class DiscCond(nn.Module):
                     name="joinConv")(x)
         x = leaky_relu(x, 0.2)
 
-        pair = nn.Conv(1, (4, 4), strides=(4, 4), padding="VALID", use_bias=True,
+        # Reference uses strides=(4,4) (models.py:318-325); on the 4x4 head
+        # input VALID 4x4 kernels produce a single output position either
+        # way, so strides=(1,1) is bitwise-identical math. We use stride 1
+        # because the TPU backend miscompiles the BACKWARD of the strided
+        # variant when the head runs as one 3B-concat pass (finite loss,
+        # NaN cotangents below joinConv; CPU and the separate-pass program
+        # agree to the last bit, and the stride-1 program matches both).
+        pair = nn.Conv(1, (4, 4), padding="VALID", use_bias=True,
                        kernel_init=torch_kernel_init, dtype=self.dtype,
                        name="pair_node")(x).reshape(b)
-        cls = nn.Conv(self.ndf * 2, (4, 4), strides=(4, 4), padding="VALID",
+        cls = nn.Conv(self.ndf * 2, (4, 4), padding="VALID",
                       use_bias=True, kernel_init=torch_kernel_init,
                       dtype=self.dtype, name="class_node")(x).reshape(b, self.ndf * 2)
         cls = dense(self.class_nums, dtype=self.dtype, name="class_linear")(cls)
