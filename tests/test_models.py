@@ -146,3 +146,61 @@ def test_generator_remat_identity(gen_vars):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_disc_cond_head_stride1_equals_strided_reference():
+    """The production DiscCond head uses stride-1 4x4 VALID convs where the
+    reference uses stride 4 (models.py:318-325) — identical math on the 4x4
+    head input (one output position either way). The stride-1 form exists
+    because the TPU backend miscompiles the strided backward inside the
+    densified 3B-concat head pass (see discriminator.py); this pins the
+    equivalence so the workaround can never drift.
+    """
+    from flax import linen as nn
+
+    from eegan_tpu.models.discriminator import DiscCond
+    from eegan_tpu.models.layers import dense, leaky_relu, torch_kernel_init
+
+    class StridedRef(nn.Module):
+        ndf: int
+        class_nums: int
+
+        @nn.compact
+        def __call__(self, feat, cond):
+            b, h, w, _ = feat.shape
+            cond = jnp.broadcast_to(cond[:, None, None, :],
+                                    (b, h, w, cond.shape[-1]))
+            x = jnp.concatenate([feat, cond], axis=-1)
+            x = nn.Conv(self.ndf * 2, (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=False, kernel_init=torch_kernel_init,
+                        name="joinConv")(x)
+            x = leaky_relu(x, 0.2)
+            pair = nn.Conv(1, (4, 4), strides=(4, 4), padding="VALID",
+                           use_bias=True, kernel_init=torch_kernel_init,
+                           name="pair_node")(x).reshape(b)
+            cls = nn.Conv(self.ndf * 2, (4, 4), strides=(4, 4),
+                          padding="VALID", use_bias=True,
+                          kernel_init=torch_kernel_init,
+                          name="class_node")(x).reshape(b, self.ndf * 2)
+            return pair, dense(self.class_nums, name="class_linear")(cls)
+
+    head = DiscCond(ndf=NGF, class_nums=17)
+    ref = StridedRef(ndf=NGF, class_nums=17)
+    feat = jax.random.normal(jax.random.PRNGKey(1), (6, 4, 4, NGF))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (6, 256))
+    variables = head.init(jax.random.PRNGKey(3), feat, cond)
+    # identical param tree -> the strided reference accepts it verbatim
+    p0, c0 = head.apply(variables, feat, cond)
+    p1, c1 = ref.apply(variables, feat, cond)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+    # densified-pass grads stay finite (the failure mode the workaround fixes
+    # was TPU-backend-specific, but pin CPU finiteness + value equality too)
+    def loss(v):
+        pair, cls = head.apply(v, feat, cond)
+        return pair.sum() + (cls ** 2).mean()
+
+    grads = jax.grad(loss)(variables)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
