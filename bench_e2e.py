@@ -97,6 +97,10 @@ def main():
     steps_done = int(np.asarray(trainer.state.step))  # value fetch = drain
     dt = time.perf_counter() - t0
 
+    # a timed run of a NaN-computing program is not a benchmark (PERF.md §2a)
+    err_g = float(np.asarray(trainer.last_metrics["errG/total"]))
+    assert np.isfinite(err_g), f"non-finite errG/total after run: {err_g}"
+
     imgs = EPOCHS * n_iters * BATCH
     rate = imgs / dt
     print(f"steady state: {EPOCHS} epochs x {n_iters} iters, "

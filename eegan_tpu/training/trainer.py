@@ -139,6 +139,7 @@ class Trainer:
         self.max_epoch = config.TRAIN.MAX_EPOCH + 1
         self.iters_cnt = 0
         self.timer = StepTimer(self.batch_size)
+        self.last_metrics = None
 
         # Optional overlapped evaluation (evaluation/async_eval.py): each
         # generator snapshot is scored (FID / R-precision) on a background
@@ -246,6 +247,9 @@ class Trainer:
                     n_sub = 1
                 for _ in range(n_sub):
                     self.timer.tick()
+                # async device values; fetched by benches/tests to assert the
+                # last step computed finite losses (PERF.md §2a)
+                self.last_metrics = metrics
                 steps_done += 1
                 if profile_at >= 0 and steps_done == profile_at + profile_steps:
                     jax.tree_util.tree_map(
