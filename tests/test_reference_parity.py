@@ -276,11 +276,24 @@ def test_convert_checkpoints_verify_rehearsal(ref_models, tmp_path,
     monkeypatch.setattr(sys, "argv", argv)
     cc.main()  # must not raise: all oracles match
 
-    # Corrupt one generator weight: --verify must exit non-zero.
-    sd = torch.load(g_pth, weights_only=False)
-    key = next(k for k in sd if k.endswith("weight") and sd[k].ndim == 4)
-    sd[key] = sd[key] + 1.0
-    torch.save(sd, g_pth)
+    # Inject a conversion fault: --verify must exit non-zero. (Corrupting
+    # the source .pth can NOT trip verify — the torch oracle loads the same
+    # file, so a faithful conversion of corrupted weights still matches.
+    # What verify guards is the conversion itself, so break that.)
+    import jax
+    import numpy as np
+
+    from eegan_tpu.utils import torch_convert as tc_mod
+
+    real_convert = tc_mod.convert_generator
+
+    def broken_convert(sd, template):
+        # perturb every leaf: zero-init gates make single-leaf faults in
+        # block interiors invisible at reference init
+        out = real_convert(sd, template)
+        return jax.tree_util.tree_map(lambda l: np.asarray(l) + 1e-2, out)
+
+    monkeypatch.setattr(tc_mod, "convert_generator", broken_convert)
     monkeypatch.setattr(sys, "argv", argv)
     with pytest.raises(SystemExit):
         cc.main()
