@@ -24,25 +24,28 @@ the way the reference evaluates (test.py sweeps epochs 550..700 and
 reports the best), scores raw AND EMA params, and averages 8 noise draws
 per class.
 
-Findings (one v5e chip, seven runs, round 2 — all with this pipeline):
-  * DAMSM pretrain converges hard (loss 2.9 -> 0.003 in 400 steps); the
-    8 class sentence embeddings separate completely (max off-diag cosine
-    -0.04). The in-framework encoder-pretrain path works.
-  * Conditioning robustly emerges: every properly-configured run peaks at
-    4-6/8 classes correct near step 3000 (p <= 5.5e-4 vs chance 1/8);
-    black/white/red learn first, green/blue/cyan confuse longest (they
-    share channel structure).
-  * The toy task is CHAOTIC: training past the peak mode-collapses (8k
-    steps -> 2/8), heavier conditioning coefficients (sim_coe 1.0,
-    class_coe 5.0) collapse faster (1/8), and even recompiling a slightly
-    different program (adding EMA ops) shifts the trajectory peak from
-    6/8 to 4/8 — f32 reassociation noise diverges adversarial dynamics.
-    This is a property of an 8-mode degenerate GAN task, not of the
-    framework: every loss/model component is oracle-tested against the
-    reference, and the reference itself only ever evaluates
-    checkpoint sweeps on real data, never a final toy step.
-  * Last recorded run: best 4/8 @ step 3000 (EMA params), final 4/8 —
-    PASSES the statistical criterion.
+Findings — round-3 multi-seed campaign (run_probe_campaign.py, one v5e
+chip, 15 runs of 3000 steps, fp32, AFTER the strided-head miscompile fix
+PERF.md §2a — the campaign is what exposed that bug):
+  * **15/15 PASS** (p <= 5.5e-4 per run). Peaks per seed 0-4:
+      baseline (no guard rails, EMA probe on): 4,8,6,7,6
+      clip     (TRAIN.D_GRAD_CLIP=100):        5,8,8,8,6
+      raw      (EMA disabled):                 5,8,6,7,6
+    Every final equals its peak — no mode collapse within 3k steps in any
+    run; every winning checkpoint was raw params (EMA never rescued a run,
+    it is a quality smoother, not a stability requirement at this horizon).
+  * DAMSM pretrain converges hard (loss ~2.9 -> 0.004 in 300 steps); the 8
+    class sentence embeddings separate completely (max off-diag cosine
+    |.|<0.02). The in-framework encoder-pretrain path works.
+  * Revision of round 2's narrative: the "chaotic, seed- and program-
+    sensitive, peaks 4-6/8 then collapses" picture was observed partly on
+    a program whose 256-scale D was NaN-poisoned from step 1 (the
+    miscompile). On the fixed program the dynamics are strong and
+    reproducible at 3k steps. The round-2 long-horizon observation (8k
+    steps -> collapse to 2/8 on the pre-densification program) has not
+    been re-tested and the degenerate 8-mode task remains collapse-prone
+    in principle; the criterion still scores the best checkpoint of a
+    sweep, exactly how the reference evaluates (test.py epochs 550..700).
   * bf16 + near-noiseless solid colors can still diverge (saturated patch D
     + ||grad||^6 MAGP); --clip 100 (TRAIN.D_GRAD_CLIP) stops the spiral.
 
