@@ -35,9 +35,14 @@ on the single-step program (`compiled.cost_analysis()['flops']`). From it:
 The north-star is vs_baseline >= 3 — only reachable on real (unshared)
 silicon; see PERF.md for the calibration story on this tunnel.
 
-Env knobs: EEGAN_BENCH_BATCH (default 32 per chip), EEGAN_BENCH_PALLAS
+Env knobs: EEGAN_BENCH_BATCH (default 32 per chip), EEGAN_BENCH_GF /
+EEGAN_BENCH_DF (model widths, default 32 = cfg/bird.yml; 64 = the COCO
+recipe), EEGAN_BENCH_CLASS (default 1; 0 drops the class head like
+cfg/coco.yml), EEGAN_BENCH_PALLAS
 (default 1; 0 benches the pure-XLA words-loss path for A/B),
-EEGAN_BENCH_REMAT (default 0; 1 checkpoints the generator blocks),
+EEGAN_BENCH_REMAT (default 0; 1 checkpoints the generator+discriminator
+blocks), EEGAN_BENCH_DENSE (default 1; 0 = per-branch D passes — pair with
+REMAT=1 to fit batch 256+),
 EEGAN_BENCH_SCAN (default 8; steps per dispatch via lax.scan — the
 production RUNTIME.STEPS_PER_DISPATCH path), EEGAN_BENCH_WINDOWS /
 EEGAN_BENCH_ITERS (timing shape: ITERS dispatches per window),
@@ -56,8 +61,12 @@ A100_PEAK_FLOPS = 312e12  # bf16
 A100_REFERENCE_MFU = 0.10  # documented assumption; see module docstring
 
 BATCH_PER_CHIP = int(os.environ.get("EEGAN_BENCH_BATCH", "32"))
+GF_DIM = int(os.environ.get("EEGAN_BENCH_GF", "32"))
+DF_DIM = int(os.environ.get("EEGAN_BENCH_DF", str(GF_DIM)))
+USE_CLASS = os.environ.get("EEGAN_BENCH_CLASS", "1") == "1"
 USE_PALLAS = os.environ.get("EEGAN_BENCH_PALLAS", "1") == "1"
 USE_REMAT = os.environ.get("EEGAN_BENCH_REMAT", "0") == "1"
+DENSE_D = os.environ.get("EEGAN_BENCH_DENSE", "1") == "1"
 SCAN_K = int(os.environ.get("EEGAN_BENCH_SCAN", "8"))
 WINDOWS = int(os.environ.get("EEGAN_BENCH_WINDOWS", "3"))
 ITERS = int(os.environ.get("EEGAN_BENCH_ITERS", "4"))
@@ -139,13 +148,15 @@ def main():
 
     n_dev = len(jax.devices())
     config = Config()
-    config.GAN.GF_DIM = 32  # cfg/bird.yml flagship
-    config.GAN.DF_DIM = 32
+    config.GAN.GF_DIM = GF_DIM  # 32 = cfg/bird.yml flagship
+    config.GAN.DF_DIM = DF_DIM
+    config.TRAIN.USE_CLASS = USE_CLASS
     config.TRAIN.CLASS_NUM = 200
     config.TRAIN.BATCH_SIZE = BATCH_PER_CHIP * n_dev
     config.RUNTIME.COMPUTE_DTYPE = "bfloat16"
     config.RUNTIME.PALLAS_DAMSM = USE_PALLAS
     config.RUNTIME.REMAT = USE_REMAT
+    config.RUNTIME.DENSE_D = DENSE_D
 
     mesh = make_mesh(f"data:{n_dev}")
     models = build_models(config, n_words=5450)  # CUB vocab size
@@ -227,6 +238,9 @@ def main():
                                      if a100_ref_imgs else None,
         "pallas_damsm": USE_PALLAS,
         "remat": USE_REMAT,
+        "dense_d": DENSE_D,
+        "gf_dim": GF_DIM,
+        "use_class": USE_CLASS,
         "batch_per_chip": BATCH_PER_CHIP,
         "steps_per_dispatch": scan_k,
     }

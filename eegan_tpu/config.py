@@ -127,8 +127,14 @@ class RuntimeConfig:
     MESH: str = "data:-1"
     # Compute dtype for conv/matmul activations; params stay float32.
     COMPUTE_DTYPE: str = "bfloat16"
-    # Rematerialise generator blocks to trade FLOPs for HBM.
+    # Rematerialise generator + discriminator blocks to trade FLOPs for HBM.
     REMAT: bool = False
+    # Densified D hinge phase: one 2B-concat tower pass + one 3B-concat head
+    # pass per scale instead of 2+3 B-sized passes. Bitwise-identical math
+    # (no cross-batch ops in D); denser MXU tiles, so a clear win at small
+    # per-chip batch (+4.5% at 32). Costs 2-3x D activation memory — turn
+    # OFF (with REMAT on) to fit very large per-chip batches (256+).
+    DENSE_D: bool = True
     # Use the fused Pallas DAMSM words-loss (custom VJP) in the train step.
     # Takes effect on the TPU backend only; the XLA path is used elsewhere.
     PALLAS_DAMSM: bool = True

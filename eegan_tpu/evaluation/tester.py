@@ -61,20 +61,21 @@ class Tester:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from eegan_tpu.parallel.mesh import DATA_AXIS
+            from eegan_tpu.parallel.mesh import batch_axes
 
+            baxes = batch_axes(mesh)
             repl = NamedSharding(mesh, P())
-            row = NamedSharding(mesh, P(DATA_AXIS))
+            row = NamedSharding(mesh, P(baxes))
 
             enc_img = jax.jit(self._encode_image_fn,
                               in_shardings=(repl,
                                             NamedSharding(
-                                                mesh, P(DATA_AXIS, None,
+                                                mesh, P(baxes, None,
                                                         None, None))))
             enc_snt = jax.jit(self._encode_sents_fn,
                               in_shardings=(repl,
                                             NamedSharding(mesh,
-                                                          P(DATA_AXIS, None)),
+                                                          P(baxes, None)),
                                             row))
         else:
             enc_img = jax.jit(self._encode_image_fn)

@@ -139,13 +139,21 @@ class Discriminator(nn.Module):
     disc_class: bool = False
     class_nums: int = 200
     dtype: Dtype = jnp.float32
+    # RUNTIME.REMAT: checkpoint each down block — its activations are
+    # recomputed in the backward instead of held live. The densified hinge
+    # phase runs the towers on 2B/3B-concat batches, so at large per-chip
+    # batch the D activations (not the generator's) dominate HBM; remat
+    # works through the MAGP double-backward too (jax.checkpoint composes
+    # with higher-order AD).
+    remat: bool = False
 
     def setup(self):
         ladder = channel_ladder(self.ndf, self.scale)
+        block_cls = nn.remat(ResDown) if self.remat else ResDown
         self.conv_img = nn.Conv(self.ndf, (3, 3), padding=((1, 1), (1, 1)),
                                 use_bias=True, kernel_init=torch_kernel_init,
                                 dtype=self.dtype, name="conv_img")
-        self.blocks = [ResDown(ch, dtype=self.dtype, name=f"block{i}")
+        self.blocks = [block_cls(ch, dtype=self.dtype, name=f"block{i}")
                        for i, ch in enumerate(ladder)]
         if self.disc_class:
             self.COND_DNET = DiscCond(ladder[-1], self.class_nums,

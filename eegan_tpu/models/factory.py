@@ -44,7 +44,8 @@ def build_models(config: Config, n_words: int) -> ModelBundle:
         use_class = config.TRAIN.USE_CLASS and i == len(scales) - 1
         discs.append(Discriminator(
             ndf=config.GAN.DF_DIM, scale=s, disc_class=use_class,
-            class_nums=config.TRAIN.CLASS_NUM, dtype=dt))
+            class_nums=config.TRAIN.CLASS_NUM, dtype=dt,
+            remat=config.RUNTIME.REMAT))
     return ModelBundle(
         generator=Generator(ngf=config.GAN.GF_DIM, nz=config.GAN.Z_DIM,
                             dtype=dt, remat=config.RUNTIME.REMAT),

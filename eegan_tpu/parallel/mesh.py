@@ -23,6 +23,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+
+
+def batch_axes(mesh: Mesh):
+    """Mesh axes the batch dimension is split over.
+
+    With a plain ``data`` mesh this is ``"data"``; when an ``fsdp`` axis is
+    present (see `parallel/fsdp.py`) the batch shards over BOTH axes so
+    every device keeps doing data-parallel work while parameters shard over
+    ``fsdp`` only — the standard GSPMD FSDP layout."""
+    if FSDP_AXIS in mesh.axis_names and mesh.shape[FSDP_AXIS] > 1:
+        return (DATA_AXIS, FSDP_AXIS)
+    return DATA_AXIS
 
 
 def parse_mesh_spec(spec: str, n_devices: int) -> Tuple[Tuple[str, ...], Tuple[int, ...]]:
@@ -65,14 +78,15 @@ def make_mesh(spec: str = "data:-1", devices: Optional[Sequence[jax.Device]] = N
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard the leading (batch) dimension over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    """Shard the leading (batch) dimension over the data (+fsdp) axes."""
+    return NamedSharding(mesh, P(batch_axes(mesh), *([None] * (ndim - 1))))
 
 
 def stacked_batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """(K, B, ...) stacks for the multi-step scan driver: steps replicated,
     batch dim sharded."""
-    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+    return NamedSharding(mesh,
+                         P(None, batch_axes(mesh), *([None] * (ndim - 2))))
 
 
 def shard_stacked_batch(batch, mesh: Mesh):

@@ -138,27 +138,46 @@ def build_train_step_fn(config: Config, models: ModelBundle,
         metrics = {}
 
         def loss_fn(p):
-            # One 2B tower pass + one 3B head pass instead of 2+3 B-sized
-            # calls: D has no cross-batch ops (no BN), so the math is
-            # bitwise identical while the convs run at double/triple batch
-            # density — the MXU-utilisation lever the batch-32 recipe needs
-            # (bench_ablate.py attribution; PERF.md §3).
-            b2 = real.shape[0]
-            feats = disc_features(i, p, jnp.concatenate([real, fake], axis=0))
-            feat_real, feat_fake = feats[:b2], feats[b2:]
-            heads = disc_head(
-                i, p,
-                jnp.concatenate([feat_real, feat_real, feat_fake], axis=0),
-                jnp.concatenate([sent, unpair_sent, sent], axis=0))
+            # RUNTIME.DENSE_D (default): one 2B tower pass + one 3B head
+            # pass instead of 2+3 B-sized calls. D has no cross-batch ops
+            # (no BN), so the math is identical (up to conv accumulation
+            # order) while the convs run at double/triple batch density —
+            # the MXU-utilisation lever the batch-32 recipe needs
+            # (bench_ablate.py attribution; PERF.md §3). The separate-pass
+            # form costs 2-3x less D activation HBM and is the right shape
+            # for very large per-chip batches (pair with RUNTIME.REMAT).
+            if config.RUNTIME.DENSE_D:
+                b2 = real.shape[0]
+                feats = disc_features(i, p,
+                                      jnp.concatenate([real, fake], axis=0))
+                feat_real, feat_fake = feats[:b2], feats[b2:]
+                heads = disc_head(
+                    i, p,
+                    jnp.concatenate([feat_real, feat_real, feat_fake], axis=0),
+                    jnp.concatenate([sent, unpair_sent, sent], axis=0))
+                if is_class_scale:
+                    outs, clss = heads
+                    real_out, unpair_out, fake_out = jnp.split(outs, 3, axis=0)
+                    real_cls, unpair_cls, fake_cls = jnp.split(clss, 3, axis=0)
+                else:
+                    real_out, unpair_out, fake_out = jnp.split(heads, 3, axis=0)
+            else:
+                feat_real = disc_features(i, p, real)
+                feat_fake = disc_features(i, p, fake)
+                h_real = disc_head(i, p, feat_real, sent)
+                h_unpair = disc_head(i, p, feat_real, unpair_sent)
+                h_fake = disc_head(i, p, feat_fake, sent)
+                if is_class_scale:
+                    real_out, real_cls = h_real
+                    unpair_out, unpair_cls = h_unpair
+                    fake_out, fake_cls = h_fake
+                else:
+                    real_out, unpair_out, fake_out = h_real, h_unpair, h_fake
             if is_class_scale:
-                outs, clss = heads
-                real_out, unpair_out, fake_out = jnp.split(outs, 3, axis=0)
-                real_cls, unpair_cls, fake_cls = jnp.split(clss, 3, axis=0)
                 err_real_c = gan_losses.bce_with_logits(real_cls, class_labels)
                 err_fake_c = gan_losses.bce_with_logits(fake_cls, class_labels)
                 err_unpair_c = gan_losses.bce_with_logits(unpair_cls, class_labels)
             else:
-                real_out, unpair_out, fake_out = jnp.split(heads, 3, axis=0)
                 err_real_c = err_fake_c = err_unpair_c = jnp.float32(0)
             err_real = gan_losses.hinge_real(real_out)
             err_fake = gan_losses.hinge_fake(fake_out)
@@ -342,24 +361,34 @@ def build_train_step_fn(config: Config, models: ModelBundle,
 
 def make_train_step(config: Config, models: ModelBundle,
                     mesh: Optional[Mesh] = None, donate: bool = True,
-                    ablate: frozenset = frozenset()):
-    """Build the jitted train step: (state, frozen, batch, rng) -> (state, metrics)."""
+                    ablate: frozenset = frozenset(), state_shardings=None):
+    """Build the jitted train step: (state, frozen, batch, rng) -> (state, metrics).
+
+    ``state_shardings`` (a TrainState-shaped pytree of NamedShardings, see
+    `parallel/fsdp.state_shardings`) shards parameters/optimizer/EMA leaves
+    over the mesh's ``fsdp`` axis; GSPMD inserts the param all-gathers and
+    grad reduce-scatters. Default None = fully replicated state (the
+    reference-parity data-parallel layout)."""
     train_step = build_train_step_fn(config, models, ablate=ablate)
     donate_args = (0,) if donate else ()
     if mesh is not None:
+        from eegan_tpu.parallel.mesh import batch_axes
+
         repl = NamedSharding(mesh, P())
-        bsh = NamedSharding(mesh, P(DATA_AXIS))
+        bsh = NamedSharding(mesh, P(batch_axes(mesh)))
+        ssh = repl if state_shardings is None else state_shardings
         return jax.jit(
             train_step,
             donate_argnums=donate_args,
-            in_shardings=(repl, repl, bsh, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(ssh, repl, bsh, repl),
+            out_shardings=(ssh, repl),
         )
     return jax.jit(train_step, donate_argnums=donate_args)
 
 
 def make_multi_train_step(config: Config, models: ModelBundle,
-                          mesh: Optional[Mesh] = None, donate: bool = True):
+                          mesh: Optional[Mesh] = None, donate: bool = True,
+                          state_shardings=None):
     """K train steps per dispatch via `lax.scan` — one host round-trip and
     one compiled program for a whole chunk of steps.
 
@@ -386,13 +415,16 @@ def make_multi_train_step(config: Config, models: ModelBundle,
 
     donate_args = (0,) if donate else ()
     if mesh is not None:
+        from eegan_tpu.parallel.mesh import batch_axes
+
         repl = NamedSharding(mesh, P())
-        bsh = NamedSharding(mesh, P(None, DATA_AXIS))
+        bsh = NamedSharding(mesh, P(None, batch_axes(mesh)))
+        ssh = repl if state_shardings is None else state_shardings
         return jax.jit(
             multi_step,
             donate_argnums=donate_args,
-            in_shardings=(repl, repl, bsh, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(ssh, repl, bsh, repl),
+            out_shardings=(ssh, repl),
         )
     return jax.jit(multi_step, donate_argnums=donate_args)
 
@@ -432,8 +464,10 @@ def make_sample_step(config: Config, models: ModelBundle,
         return imgs
 
     if mesh is not None:
+        from eegan_tpu.parallel.mesh import batch_axes
+
         repl = NamedSharding(mesh, P())
-        bsh = NamedSharding(mesh, P(DATA_AXIS))
+        bsh = NamedSharding(mesh, P(batch_axes(mesh)))
         return jax.jit(sample, in_shardings=(
             repl, repl, repl, repl, bsh, bsh, bsh, bsh, repl))
     return jax.jit(sample)

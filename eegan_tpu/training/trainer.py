@@ -116,14 +116,23 @@ class Trainer:
             self.frozen, jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec()))
 
+        # Optional FSDP: a mesh like "data:4,fsdp:2" shards params/opt/EMA
+        # leaves over the fsdp axis (parallel/fsdp.py); default meshes keep
+        # the reference-parity replicated layout.
+        from eegan_tpu.parallel.fsdp import has_fsdp_axis, state_shardings
+
+        self.state_shardings = (state_shardings(self.state, self.mesh)
+                                if has_fsdp_axis(self.mesh) else None)
         self.train_step = make_train_step(config, self.models, mesh=self.mesh,
-                                          donate=config.RUNTIME.DONATE)
+                                          donate=config.RUNTIME.DONATE,
+                                          state_shardings=self.state_shardings)
         # K steps per compiled dispatch (lax.scan over the same step) hides
         # the host round-trip; numerics identical to K single dispatches.
         self.steps_per_dispatch = max(1, config.RUNTIME.STEPS_PER_DISPATCH)
         self.multi_train_step = (
             make_multi_train_step(config, self.models, mesh=self.mesh,
-                                  donate=config.RUNTIME.DONATE)
+                                  donate=config.RUNTIME.DONATE,
+                                  state_shardings=self.state_shardings)
             if self.steps_per_dispatch > 1 else None)
         self.sample_step = make_sample_step(config, self.models, mesh=self.mesh)
 

@@ -204,3 +204,43 @@ def test_disc_cond_head_stride1_equals_strided_reference():
     grads = jax.grad(loss)(variables)
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_discriminator_remat_identity():
+    """Discriminator remat (RUNTIME.REMAT) is the identity on values and
+    grads — including grad-of-grad, the MAGP double-backward path that the
+    checkpointed blocks must recompute through."""
+    model = Discriminator(ndf=NGF, scale=64, disc_class=False)
+    rmodel = Discriminator(ndf=NGF, scale=64, disc_class=False, remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 256))
+    variables = model.init(jax.random.PRNGKey(0), x, cond)
+    v2 = rmodel.init(jax.random.PRNGKey(0), x, cond)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
+        variables)
+
+    def out(m, v, img):
+        return jnp.sum(m.apply(v, img, cond))
+
+    np.testing.assert_allclose(float(out(model, variables, x)),
+                               float(out(rmodel, variables, x)), rtol=1e-6)
+
+    g0 = jax.grad(lambda v: out(model, v, x))(variables)
+    g1 = jax.grad(lambda v: out(rmodel, v, x))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # MAGP-style: grad wrt the input, then a penalty differentiated again.
+    def magp(m, v):
+        gin = jax.grad(lambda img: out(m, v, img))(x)
+        return jnp.mean(jnp.sum(gin ** 2, axis=(1, 2, 3)) ** 3)
+
+    p0 = jax.value_and_grad(lambda v: magp(model, v))(variables)
+    p1 = jax.value_and_grad(lambda v: magp(rmodel, v))(variables)
+    np.testing.assert_allclose(float(p0[0]), float(p1[0]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p0[1]),
+                    jax.tree_util.tree_leaves(p1[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

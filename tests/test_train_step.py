@@ -198,3 +198,35 @@ def test_multi_step_matches_sequential(setup):
                     jax.tree_util.tree_leaves(s2.g_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2.5e-4)
+
+
+def test_dense_d_off_matches_dense_d_on(setup):
+    """RUNTIME.DENSE_D only changes the D phase's pass shape (2B/3B concat
+    vs per-branch); the math is identical up to conv-batching accumulation
+    order, so one full train step must produce the same metrics and
+    parameters either way (to FP noise)."""
+    c, models, state, frozen = setup
+    import copy
+
+    c2 = copy.deepcopy(c)
+    c2.RUNTIME.DENSE_D = False
+    assert c.RUNTIME.DENSE_D
+
+    mesh = make_mesh("data:8")
+    batch = shard_batch(synthetic_batch(c, 8, n_words=N_WORDS), mesh)
+    rng = jax.random.PRNGKey(7)
+
+    s_on, m_on = make_train_step(c, models, mesh=mesh, donate=False)(
+        state, frozen, batch, rng)
+    s_off, m_off = make_train_step(c2, models, mesh=mesh, donate=False)(
+        state, frozen, batch, rng)
+
+    for k in m_on:
+        np.testing.assert_allclose(float(m_on[k]), float(m_off[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    # concat-vs-separate conv batching changes accumulation order; post-Adam
+    # params may wiggle a few ULP-scale amounts (observed max 1e-5 on CPU)
+    for a, b in zip(jax.tree_util.tree_leaves(s_on.d_params),
+                    jax.tree_util.tree_leaves(s_off.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-5)
