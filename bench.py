@@ -67,6 +67,7 @@ USE_CLASS = os.environ.get("EEGAN_BENCH_CLASS", "1") == "1"
 USE_PALLAS = os.environ.get("EEGAN_BENCH_PALLAS", "1") == "1"
 USE_REMAT = os.environ.get("EEGAN_BENCH_REMAT", "0") == "1"
 DENSE_D = os.environ.get("EEGAN_BENCH_DENSE", "1") == "1"
+MAGP_CHUNKS = int(os.environ.get("EEGAN_BENCH_MAGP_CHUNKS", "1"))
 SCAN_K = int(os.environ.get("EEGAN_BENCH_SCAN", "8"))
 WINDOWS = int(os.environ.get("EEGAN_BENCH_WINDOWS", "3"))
 ITERS = int(os.environ.get("EEGAN_BENCH_ITERS", "4"))
@@ -157,6 +158,7 @@ def main():
     config.RUNTIME.PALLAS_DAMSM = USE_PALLAS
     config.RUNTIME.REMAT = USE_REMAT
     config.RUNTIME.DENSE_D = DENSE_D
+    config.RUNTIME.MAGP_CHUNKS = MAGP_CHUNKS
 
     mesh = make_mesh(f"data:{n_dev}")
     models = build_models(config, n_words=5450)  # CUB vocab size
@@ -239,6 +241,7 @@ def main():
         "pallas_damsm": USE_PALLAS,
         "remat": USE_REMAT,
         "dense_d": DENSE_D,
+        "magp_chunks": MAGP_CHUNKS,
         "gf_dim": GF_DIM,
         "use_class": USE_CLASS,
         "batch_per_chip": BATCH_PER_CHIP,

@@ -135,6 +135,11 @@ class RuntimeConfig:
     # per-chip batch (+4.5% at 32). Costs 2-3x D activation memory — turn
     # OFF (with REMAT on) to fit very large per-chip batches (256+).
     DENSE_D: bool = True
+    # MAGP gradient penalty computed over this many equal batch chunks
+    # (checkpointed scan). Identical math — 2*mean(norm^6) over equal
+    # chunks == the full-batch mean; divides the double-backward's
+    # activation HBM by the chunk count. For very large per-chip batches.
+    MAGP_CHUNKS: int = 1
     # Use the fused Pallas DAMSM words-loss (custom VJP) in the train step.
     # Takes effect on the TPU backend only; the XLA path is used elsewhere.
     PALLAS_DAMSM: bool = True

@@ -230,3 +230,31 @@ def test_dense_d_off_matches_dense_d_on(setup):
                     jax.tree_util.tree_leaves(s_off.d_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=5e-5)
+
+
+def test_magp_chunks_matches_full_batch(setup):
+    """RUNTIME.MAGP_CHUNKS computes the gradient penalty over equal batch
+    chunks (checkpointed scan): 2*mean(norm^6) over equal chunks equals the
+    full-batch mean, so metrics and updated D params must match."""
+    c, models, state, frozen = setup
+    import copy
+
+    c2 = copy.deepcopy(c)
+    c2.RUNTIME.MAGP_CHUNKS = 4
+
+    mesh = make_mesh("data:8")
+    batch = shard_batch(synthetic_batch(c, 8, n_words=N_WORDS), mesh)
+    rng = jax.random.PRNGKey(9)
+
+    s1, m1 = make_train_step(c, models, mesh=mesh, donate=False)(
+        state, frozen, batch, rng)
+    s4, m4 = make_train_step(c2, models, mesh=mesh, donate=False)(
+        state, frozen, batch, rng)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m4[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
+                    jax.tree_util.tree_leaves(s4.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-5)
