@@ -120,10 +120,12 @@ def main():
 
     # Warm the whole eval path (sample step + encoders + pool3 extractor +
     # caption cache) with a one-batch evaluation on the worker thread.
-    g_p, a_p, g_st = snapshot()
+    # snapshot() must be taken fresh before every submit: the donating
+    # train step consumes the previous state's buffers, and submit()'s
+    # device copy can only copy buffers that are still alive.
     t0 = time.perf_counter()
     evaluator.eval_nums = EVAL_BATCH * n_dev  # one batch
-    evaluator.submit(0, g_p, a_p, g_st)
+    evaluator.submit(0, *snapshot())
     while 0 not in evaluator.results:
         time.sleep(0.2)
     evaluator.eval_nums = EVAL_NUMS
@@ -146,16 +148,17 @@ def main():
     print(f"train solo: {train_solo_rate:.1f} img/s/chip", file=sys.stderr)
 
     t0 = time.perf_counter()
-    evaluator.submit(1, g_p, a_p, g_st)
+    evaluator.submit(1, *snapshot())
     while 1 not in evaluator.results:
         time.sleep(0.2)
     eval_solo = time.perf_counter() - t0
+    assert "eval/error" not in evaluator.results[1], evaluator.results[1]
     print(f"eval solo ({EVAL_NUMS} imgs, FID+R-prec): {eval_solo:.1f}s",
           file=sys.stderr)
 
     # --- overlapped -----------------------------------------------------
     t0 = time.perf_counter()
-    evaluator.submit(2, g_p, a_p, g_st)
+    evaluator.submit(2, *snapshot())
     windows = 0
     eval_done_at = None
     # Keep training until the eval lands, then finish the current window
@@ -169,6 +172,7 @@ def main():
     total = time.perf_counter() - t0
     train_ovl_rate = windows * ITERS * imgs_per_dispatch / total / n_dev
     evaluator.close(wait=True)
+    assert "eval/error" not in evaluator.results[2], evaluator.results[2]
 
     eval_imgs_per_sec_solo = EVAL_NUMS / eval_solo
     eval_imgs_per_sec_ovl = EVAL_NUMS / eval_done_at

@@ -21,6 +21,16 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def _device_copy(tree):
+    """Copy every jax.Array leaf into a fresh buffer (host leaves pass
+    through). Protects queued snapshots from buffer donation by later
+    train steps."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: x.copy() if isinstance(x, jax.Array) else x, tree)
+
+
 class AsyncEvaluator:
     """Background FID (and R-precision) evaluation of generator snapshots.
 
@@ -54,9 +64,21 @@ class AsyncEvaluator:
     # ------------------------------------------------------------------
     def submit(self, epoch: int, g_params, attr_params, g_stats) -> bool:
         """Queue a snapshot for evaluation; drops (returns False) when the
-        evaluator is still busy so training never blocks."""
+        evaluator is still busy so training never blocks.
+
+        The snapshot is copied to fresh device buffers before queueing:
+        with ``RUNTIME.DONATE`` the next train step donates the live
+        ``state`` buffers the caller passes in, and an eval thread reading
+        a donated buffer gets a backend error mid-sweep (observed on-chip:
+        ``INVALID_ARGUMENT`` from the feature fetch). The copy is enqueued
+        before any subsequent donating step, so it reads valid data; its
+        cost is one device-to-device param copy per accepted snapshot.
+        """
+        if self._q.full():
+            return False
+        snap = _device_copy((g_params, attr_params, g_stats))
         try:
-            self._q.put_nowait((epoch, g_params, attr_params, g_stats))
+            self._q.put_nowait((epoch, *snap))
             return True
         except queue.Full:
             return False
@@ -77,6 +99,9 @@ class AsyncEvaluator:
                 self._evaluate(epoch, g_params, attr_params, g_stats)
             except Exception:
                 traceback.print_exc()
+                # Record the failure so anything waiting on this epoch's
+                # result (tests, benches, a final drain) never hangs.
+                self.results[epoch] = {"eval/error": 1.0}
 
     def _evaluate(self, epoch, g_params, attr_params, g_stats):
         import jax
