@@ -129,6 +129,14 @@ class RuntimeConfig:
     COMPUTE_DTYPE: str = "bfloat16"
     # Rematerialise generator + discriminator blocks to trade FLOPs for HBM.
     REMAT: bool = False
+    # Checkpoint the frozen Inception trunk in the DAMSM image encoder
+    # (generator gradients flow THROUGH it, so its activations are live for
+    # the backward). Separate from REMAT because it is measured
+    # counterproductive on the axon backend: at batch 192 the remat
+    # program ALLOCATES MORE (19.31 GB vs 17.81 GB peak) — XLA re-buffers
+    # the recompute segment instead of freeing the trunk taps. Opt-in for
+    # backends where the trade wins.
+    REMAT_IMAGE_ENCODER: bool = False
     # Densified D hinge phase: one 2B-concat tower pass + one 3B-concat head
     # pass per scale instead of 2+3 B-sized passes. Bitwise-identical math
     # (no cross-batch ops in D); denser MXU tiles, so a clear win at small

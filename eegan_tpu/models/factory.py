@@ -54,6 +54,7 @@ def build_models(config: Config, n_words: int) -> ModelBundle:
         text_encoder=TextEncoder(
             ntoken=n_words, nhidden=config.TEXT.EMBEDDING_DIM,
             rnn_type=config.RNN_TYPE, dtype=dt),
-        image_encoder=ImageEncoder(nef=config.TEXT.EMBEDDING_DIM, dtype=dt),
+        image_encoder=ImageEncoder(nef=config.TEXT.EMBEDDING_DIM, dtype=dt,
+                                   remat=config.RUNTIME.REMAT_IMAGE_ENCODER),
         scales=scales,
     )

@@ -28,6 +28,13 @@ def _uniform_init(key, shape, dtype=jnp.float32):
 class ImageEncoder(nn.Module):
     nef: int = 256
     dtype: Dtype = jnp.float32
+    # RUNTIME.REMAT_IMAGE_ENCODER: the trunk is frozen, but generator
+    # gradients flow THROUGH it (DAMSM losses on generated images), so its
+    # activations are otherwise held for the backward — ~2.6 GB at batch
+    # 192 in the fused step. Checkpointing recomputes them instead.
+    # Opt-in and OFF by default: measured counterproductive on the axon
+    # backend (b192 peak allocation grows 17.81 -> 19.31 GB with it on).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -38,8 +45,11 @@ class ImageEncoder(nn.Module):
         # Resize in the compute dtype: the trunk consumes bf16 anyway, and
         # the 256->299 interpolation matmuls are bandwidth-bound.
         x = resize_bilinear_half_pixel(x.astype(self.dtype), (299, 299))
-        taps = InceptionV3(num_classes=0, dtype=self.dtype,
-                           name="inception")(x, train=False)
+        # static_argnums counts the bound method's args with self at 0.
+        Trunk = (nn.remat(InceptionV3, static_argnums=(2,)) if self.remat
+                 else InceptionV3)
+        taps = Trunk(num_classes=0, dtype=self.dtype,
+                     name="inception")(x, False)
 
         # Trainable-in-DAMSM projections (frozen here, like the trunk):
         # reference DAMSM.py:162-168 inits them U(-0.1, 0.1).
