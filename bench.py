@@ -66,8 +66,13 @@ DF_DIM = int(os.environ.get("EEGAN_BENCH_DF", str(GF_DIM)))
 USE_CLASS = os.environ.get("EEGAN_BENCH_CLASS", "1") == "1"
 USE_PALLAS = os.environ.get("EEGAN_BENCH_PALLAS", "1") == "1"
 USE_REMAT = os.environ.get("EEGAN_BENCH_REMAT", "0") == "1"
+# Checkpoint the frozen Inception trunk too (RUNTIME.REMAT_IMAGE_ENCODER).
+USE_REMAT_IE = os.environ.get("EEGAN_BENCH_REMAT_IE", "0") == "1"
 DENSE_D = os.environ.get("EEGAN_BENCH_DENSE", "1") == "1"
 MAGP_CHUNKS = int(os.environ.get("EEGAN_BENCH_MAGP_CHUNKS", "1"))
+# Ship image pyramids as uint8 (RUNTIME.UINT8_TRANSFER): 4x smaller batch
+# arguments in HBM and on the tunnel — part of the large-batch fit recipe.
+USE_UINT8 = os.environ.get("EEGAN_BENCH_UINT8", "0") == "1"
 SCAN_K = int(os.environ.get("EEGAN_BENCH_SCAN", "8"))
 WINDOWS = int(os.environ.get("EEGAN_BENCH_WINDOWS", "3"))
 ITERS = int(os.environ.get("EEGAN_BENCH_ITERS", "4"))
@@ -157,6 +162,7 @@ def main():
     config.RUNTIME.COMPUTE_DTYPE = "bfloat16"
     config.RUNTIME.PALLAS_DAMSM = USE_PALLAS
     config.RUNTIME.REMAT = USE_REMAT
+    config.RUNTIME.REMAT_IMAGE_ENCODER = USE_REMAT_IE
     config.RUNTIME.DENSE_D = DENSE_D
     config.RUNTIME.MAGP_CHUNKS = MAGP_CHUNKS
 
@@ -166,6 +172,11 @@ def main():
     step = make_train_step(config, models, mesh=mesh, donate=True)
 
     host = synthetic_batch(config, config.TRAIN.BATCH_SIZE, n_words=5450)
+    if USE_UINT8:
+        for k in list(host):
+            if k.startswith("img"):
+                arr = np.clip((np.asarray(host[k]) + 1.0) * 127.5, 0, 255)
+                host[k] = np.floor(arr + 0.5).astype(np.uint8)
     rng = jax.random.PRNGKey(1)
 
     # FLOPs from the single-step program's cost model.
@@ -242,6 +253,7 @@ def main():
         "remat": USE_REMAT,
         "dense_d": DENSE_D,
         "magp_chunks": MAGP_CHUNKS,
+        "uint8": USE_UINT8,
         "gf_dim": GF_DIM,
         "use_class": USE_CLASS,
         "batch_per_chip": BATCH_PER_CHIP,

@@ -74,14 +74,28 @@ class SAGBBlock(nn.Module):
     residual = c2(relu(affine2(c1(relu(affine1(x, cond1, m))), cond2, m)))
     out      = shortcut(x) + gamma * residual      (gamma scalar, zero-init)
     mask     = MaskHead(out) if pred_mask
+
+    The inter-block nearest-2x upsample and the mask-logit resize+sigmoid
+    (reference ``models.py:218-223``) live INSIDE the block (``up=True``)
+    rather than between blocks, so that under ``nn.remat`` the saved
+    residual is the 4x-smaller PRE-upsample feature map and the upsample
+    broadcast is recomputed in the backward — at batch 192 the between-
+    blocks form kept a 2.0 GB padded 6-D broadcast temp live per
+    high-resolution block (the dominant OOM allocation). Takes the RAW
+    mask logits; identical math.
     """
 
     out_ch: int
     pred_mask: bool = True
     dtype: Dtype = jnp.float32
+    up: bool = False  # nearest-2x upsample the input inside the block
 
     @nn.compact
-    def __call__(self, feat, cond1, cond2, mask, train: bool = True):
+    def __call__(self, feat, cond1, cond2, mask_logits, train: bool = True):
+        if self.up:
+            feat = upsample_nearest_2x(feat)
+        m = resize_bilinear_align_corners(mask_logits, feat.shape[1:3])
+        mask = nn.sigmoid(m)
         in_ch = feat.shape[-1]
 
         h = AffineSSA(in_ch, dtype=self.dtype, name="affine1")(feat, cond1, mask, train)
@@ -144,6 +158,7 @@ class Generator(nn.Module):
         # `train` (a python bool) is arg 5 of (self, feat, c1, c2, mask, train).
         Block = (nn.remat(SAGBBlock, static_argnums=(5,)) if self.remat
                  else SAGBBlock)
+        Cum = nn.remat(CumBlock) if self.remat else CumBlock
         sent = sent.astype(self.dtype)
         attrs = attrs.astype(self.dtype)
 
@@ -152,40 +167,36 @@ class Generator(nn.Module):
         # converted reference checkpoint reproduces identical activations.
         out = out.reshape(b, ngf * 8, 4, 4).transpose(0, 2, 3, 1)
 
+        # Blocks take the RAW mask logits; the align-corners resize to the
+        # block's (post-upsample) resolution + sigmoid happen inside (for
+        # block0 the resize is the identity: 4x4 logits, 4x4 features).
         stage_mask = MaskHead(dtype=self.dtype, name="init_mask")(out, train)
-        fusion_mask = nn.sigmoid(stage_mask)
 
         chans = [ngf * 8, ngf * 8, ngf * 8, ngf * 8, ngf * 4, ngf * 2, ngf * 1]
         out, stage_mask = Block(chans[0], True, dtype=self.dtype, name="block0")(
-            out, sent, sent, fusion_mask, train)
+            out, sent, sent, stage_mask, train)
 
         # Explore stage: blocks 1-3 at 8/16/32, conditioned on [sent, sent].
-        for ix, scale in enumerate((8, 16, 32)):
-            out = upsample_nearest_2x(out)
-            m = resize_bilinear_align_corners(stage_mask, (scale, scale))
-            fusion_mask = nn.sigmoid(m)
+        for ix in range(3):
             out, stage_mask = Block(
-                chans[ix + 1], True, dtype=self.dtype, name=f"block{ix + 1}")(
-                out, sent, sent, fusion_mask, train)
+                chans[ix + 1], True, dtype=self.dtype, up=True,
+                name=f"block{ix + 1}")(out, sent, sent, stage_mask, train)
 
         x_32 = out
         # Exploit stage: blocks 4-6 at 64/128/256, conditioned on [sent, attrs].
         feats = {}
         for ix, scale in enumerate((64, 128, 256)):
             pred = scale != 256
-            out = upsample_nearest_2x(out)
-            m = resize_bilinear_align_corners(stage_mask, (scale, scale))
-            fusion_mask = nn.sigmoid(m)
             out, new_mask = Block(
-                chans[ix + 4], pred, dtype=self.dtype, name=f"block{ix + 4}")(
-                out, sent, attrs, fusion_mask, train)
+                chans[ix + 4], pred, dtype=self.dtype, up=True,
+                name=f"block{ix + 4}")(out, sent, attrs, stage_mask, train)
             if pred:
                 stage_mask = new_mask
             feats[scale] = out
 
-        cum_64 = CumBlock(ngf * 4, dtype=self.dtype, name="cum_64")(x_32, feats[64])
-        cum_128 = CumBlock(ngf * 2, dtype=self.dtype, name="cum_128")(cum_64, feats[128])
-        cum_256 = CumBlock(ngf * 1, dtype=self.dtype, name="cum_256")(cum_128, feats[256])
+        cum_64 = Cum(ngf * 4, dtype=self.dtype, name="cum_64")(x_32, feats[64])
+        cum_128 = Cum(ngf * 2, dtype=self.dtype, name="cum_128")(cum_64, feats[128])
+        cum_256 = Cum(ngf * 1, dtype=self.dtype, name="cum_256")(cum_128, feats[256])
 
         img_64 = ToImage(dtype=self.dtype, name="get_image_64")(cum_64, train)
         img_128 = ToImage(dtype=self.dtype, name="get_image_128")(cum_128, train)
