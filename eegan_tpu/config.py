@@ -165,6 +165,11 @@ class RuntimeConfig:
     # the zero-IPC fast path for hosts where per-step JPEG decode can't
     # keep up with the device (bench_e2e.py measures both).
     DATA_PRELOAD: bool = False
+    # Lower the generator's narrow (Cout < 128) high-resolution 3x3 convs
+    # through the space-to-depth-packed stride-2 form (ops/s2d_conv.py):
+    # identical math, full MXU output lanes at 16/9 the FLOPs — a net win
+    # at small per-chip batch where those convs run quarter-dense.
+    S2D_CONVS: bool = False
     # Ship image pyramids host->device as uint8 [0, 255] (4x smaller
     # transfer) and normalise to [-1, 1] on device inside the jitted step.
     # Matches the reference MORE closely than the float path (torchvision

@@ -48,7 +48,8 @@ def build_models(config: Config, n_words: int) -> ModelBundle:
             remat=config.RUNTIME.REMAT))
     return ModelBundle(
         generator=Generator(ngf=config.GAN.GF_DIM, nz=config.GAN.Z_DIM,
-                            dtype=dt, remat=config.RUNTIME.REMAT),
+                            dtype=dt, remat=config.RUNTIME.REMAT,
+                            s2d=config.RUNTIME.S2D_CONVS),
         attr_enhance=AttrEnhance(ntf=config.TEXT.EMBEDDING_DIM, dtype=dt),
         discriminators=tuple(discs),
         text_encoder=TextEncoder(

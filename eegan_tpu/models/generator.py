@@ -89,6 +89,7 @@ class SAGBBlock(nn.Module):
     pred_mask: bool = True
     dtype: Dtype = jnp.float32
     up: bool = False  # nearest-2x upsample the input inside the block
+    s2d: bool = False  # space-to-depth conv lowering (RUNTIME.S2D_CONVS)
 
     @nn.compact
     def __call__(self, feat, cond1, cond2, mask_logits, train: bool = True):
@@ -100,10 +101,10 @@ class SAGBBlock(nn.Module):
 
         h = AffineSSA(in_ch, dtype=self.dtype, name="affine1")(feat, cond1, mask, train)
         h = nn.relu(h)
-        h = conv3x3(self.out_ch, dtype=self.dtype, name="c1")(h)
+        h = conv3x3(self.out_ch, dtype=self.dtype, name="c1", s2d=self.s2d)(h)
         h = AffineSSA(self.out_ch, dtype=self.dtype, name="affine2")(h, cond2, mask, train)
         h = nn.relu(h)
-        h = conv3x3(self.out_ch, dtype=self.dtype, name="c2")(h)
+        h = conv3x3(self.out_ch, dtype=self.dtype, name="c2", s2d=self.s2d)(h)
 
         sc = feat
         if in_ch != self.out_ch:
@@ -123,15 +124,18 @@ class CumBlock(nn.Module):
 
     cur_ch: int
     dtype: Dtype = jnp.float32
+    s2d: bool = False  # space-to-depth conv lowering (RUNTIME.S2D_CONVS)
 
     @nn.compact
     def __call__(self, prev_feat, cur_feat):
         h = conv1x1(self.cur_ch, dtype=self.dtype, name="up_conv1")(prev_feat)
         h = upsample_nearest_2x(h)
-        h = conv3x3(self.cur_ch, dtype=self.dtype, name="up_conv3")(h)
+        h = conv3x3(self.cur_ch, dtype=self.dtype, name="up_conv3",
+                    s2d=self.s2d)(h)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         fused = h + cur_feat * gamma.astype(self.dtype)
-        return conv3x3(self.cur_ch, dtype=self.dtype, name="fuse")(fused)
+        return conv3x3(self.cur_ch, dtype=self.dtype, name="fuse",
+                       s2d=self.s2d)(fused)
 
 
 class Generator(nn.Module):
@@ -148,6 +152,10 @@ class Generator(nn.Module):
     nz: int = 100
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # Space-to-depth lowering for the narrow (Cout < 128) high-res convs
+    # (RUNTIME.S2D_CONVS): identical math, full MXU lanes — see
+    # eegan_tpu/ops/s2d_conv.py. Applied only where Cout is lane-starved.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, z, sent, attrs, train: bool = True
@@ -173,13 +181,21 @@ class Generator(nn.Module):
         stage_mask = MaskHead(dtype=self.dtype, name="init_mask")(out, train)
 
         chans = [ngf * 8, ngf * 8, ngf * 8, ngf * 8, ngf * 4, ngf * 2, ngf * 1]
-        out, stage_mask = Block(chans[0], True, dtype=self.dtype, name="block0")(
+
+        def s2d(ch: int) -> bool:
+            # Only lane-starved convs benefit; full-width ones lose the
+            # 16/9 FLOP premium for nothing.
+            return self.s2d and ch < 128
+
+        out, stage_mask = Block(chans[0], True, dtype=self.dtype,
+                                s2d=s2d(chans[0]), name="block0")(
             out, sent, sent, stage_mask, train)
 
         # Explore stage: blocks 1-3 at 8/16/32, conditioned on [sent, sent].
         for ix in range(3):
             out, stage_mask = Block(
                 chans[ix + 1], True, dtype=self.dtype, up=True,
+                s2d=s2d(chans[ix + 1]),
                 name=f"block{ix + 1}")(out, sent, sent, stage_mask, train)
 
         x_32 = out
@@ -189,14 +205,18 @@ class Generator(nn.Module):
             pred = scale != 256
             out, new_mask = Block(
                 chans[ix + 4], pred, dtype=self.dtype, up=True,
+                s2d=s2d(chans[ix + 4]),
                 name=f"block{ix + 4}")(out, sent, attrs, stage_mask, train)
             if pred:
                 stage_mask = new_mask
             feats[scale] = out
 
-        cum_64 = Cum(ngf * 4, dtype=self.dtype, name="cum_64")(x_32, feats[64])
-        cum_128 = Cum(ngf * 2, dtype=self.dtype, name="cum_128")(cum_64, feats[128])
-        cum_256 = Cum(ngf * 1, dtype=self.dtype, name="cum_256")(cum_128, feats[256])
+        cum_64 = Cum(ngf * 4, dtype=self.dtype, s2d=s2d(ngf * 4),
+                     name="cum_64")(x_32, feats[64])
+        cum_128 = Cum(ngf * 2, dtype=self.dtype, s2d=s2d(ngf * 2),
+                      name="cum_128")(cum_64, feats[128])
+        cum_256 = Cum(ngf * 1, dtype=self.dtype, s2d=s2d(ngf * 1),
+                      name="cum_256")(cum_128, feats[256])
 
         img_64 = ToImage(dtype=self.dtype, name="get_image_64")(cum_64, train)
         img_128 = ToImage(dtype=self.dtype, name="get_image_128")(cum_128, train)

@@ -47,7 +47,13 @@ def conv1x1(features: int, use_bias: bool = False, name: Optional[str] = None,
 
 
 def conv3x3(features: int, use_bias: bool = False, name: Optional[str] = None,
-            dtype: Dtype = jnp.float32) -> nn.Conv:
+            dtype: Dtype = jnp.float32, s2d: bool = False) -> nn.Module:
+    if s2d:
+        # Identical math + identical param tree, space-to-depth-packed
+        # lowering for full MXU lanes at narrow Cout (ops/s2d_conv.py).
+        from eegan_tpu.ops.s2d_conv import Conv3x3S2D
+
+        return Conv3x3S2D(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Conv(features, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
                    use_bias=use_bias, kernel_init=torch_kernel_init,
                    dtype=dtype, name=name)

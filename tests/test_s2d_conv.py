@@ -1,0 +1,116 @@
+"""Space-to-depth conv: exact-math parity with the plain 3x3 conv.
+
+The packed stride-2 form computes the SAME sums (plus structural zero
+products), so forward values and gradients must match the `nn.Conv` path
+to fp32 summation-order tolerance, for every (Cin, Cout, H) the generator
+uses it at.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eegan_tpu.models.layers import conv3x3
+from eegan_tpu.ops.s2d_conv import Conv3x3S2D, conv3x3_s2d_apply
+
+
+SHAPES = [
+    (2, 8, 8, 16, 8),     # (B, H, W, Cin, Cout) — small smoke
+    (2, 16, 16, 64, 32),  # block6-like
+    (1, 12, 12, 32, 32),  # non-power-of-two even spatial
+    (2, 8, 8, 16, 3),     # ToImage-like tiny Cout
+]
+
+
+@pytest.mark.parametrize("b,h,w,cin,cout", SHAPES)
+def test_forward_matches_plain_conv(b, h, w, cin, cout):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, h, w, cin), jnp.float32)
+    kernel = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                               jnp.float32) * 0.1
+
+    ref = conv3x3(cout).apply({"params": {"kernel": kernel}}, x)
+    got = conv3x3_s2d_apply(x, kernel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_plain_conv():
+    b, h, w, cin, cout = 2, 8, 8, 16, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, cin), jnp.float32)
+    kernel = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                               jnp.float32) * 0.1
+    cot = jax.random.normal(jax.random.PRNGKey(2), (b, h, w, cout),
+                            jnp.float32)
+
+    def loss_ref(k, x):
+        y = conv3x3(cout).apply({"params": {"kernel": k}}, x)
+        return jnp.sum(y * cot)
+
+    def loss_s2d(k, x):
+        return jnp.sum(conv3x3_s2d_apply(x, k) * cot)
+
+    gk_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(kernel, x)
+    gk_s2d, gx_s2d = jax.grad(loss_s2d, argnums=(0, 1))(kernel, x)
+    np.testing.assert_allclose(np.asarray(gk_s2d), np.asarray(gk_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_s2d), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_module_param_tree_matches_nn_conv():
+    """Conv3x3S2D and conv3x3 must be checkpoint-interchangeable."""
+    x = jnp.ones((1, 8, 8, 16), jnp.float32)
+    v_ref = conv3x3(8).init(jax.random.PRNGKey(0), x)
+    v_s2d = Conv3x3S2D(8).init(jax.random.PRNGKey(0), x)
+    ref_tree = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), v_ref)
+    s2d_tree = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), v_s2d)
+    assert ref_tree == s2d_tree
+    # Same init distribution function -> same values from the same key.
+    np.testing.assert_allclose(
+        np.asarray(v_ref["params"]["kernel"]),
+        np.asarray(v_s2d["params"]["kernel"]))
+
+
+def test_module_bias_and_dtype():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4), jnp.float32)
+    mod = Conv3x3S2D(8, use_bias=True)
+    v = mod.init(jax.random.PRNGKey(1), x)
+    y = mod.apply(v, x)
+    ref = conv3x3(8, use_bias=True).apply(v, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_odd_spatial_rejected():
+    x = jnp.ones((1, 7, 8, 4), jnp.float32)
+    with pytest.raises(ValueError):
+        Conv3x3S2D(8).init(jax.random.PRNGKey(0), x)
+
+
+def test_generator_s2d_matches_plain():
+    """Full generator, same params: s2d lowering must be a pure relayout."""
+    from eegan_tpu.models.generator import Generator
+
+    key = jax.random.PRNGKey(0)
+    b, ngf = 2, 8
+    z = jax.random.normal(key, (b, 100), jnp.float32)
+    sent = jax.random.normal(jax.random.PRNGKey(1), (b, 256), jnp.float32)
+    attrs = jax.random.normal(jax.random.PRNGKey(2), (b, 256), jnp.float32)
+
+    g_ref = Generator(ngf=ngf, s2d=False)
+    g_s2d = Generator(ngf=ngf, s2d=True)
+    variables = g_ref.init(key, z, sent, attrs, True)
+    # Identical param tree: the s2d module must be checkpoint-compatible.
+    v2 = g_s2d.init(key, z, sent, attrs, True)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v2))
+
+    out_ref = g_ref.apply(variables, z, sent, attrs, True,
+                          mutable=["batch_stats"])[0]
+    out_s2d = g_s2d.apply(variables, z, sent, attrs, True,
+                          mutable=["batch_stats"])[0]
+    for a, b_ in zip(out_ref, out_s2d):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
