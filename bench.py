@@ -46,7 +46,9 @@ REMAT=1 to fit batch 256+),
 EEGAN_BENCH_SCAN (default 8; steps per dispatch via lax.scan — the
 production RUNTIME.STEPS_PER_DISPATCH path), EEGAN_BENCH_WINDOWS /
 EEGAN_BENCH_ITERS (timing shape: ITERS dispatches per window),
-EEGAN_BENCH_CALIBRATE (default 1; 0 skips the matmul calibration).
+EEGAN_BENCH_CALIBRATE (default 1; 0 skips the matmul calibration),
+EEGAN_BENCH_S2D (default 0; 1 = RUNTIME.S2D_CONVS space-to-depth lowering
+for the generator's narrow high-res convs).
 """
 
 from __future__ import annotations
@@ -73,6 +75,9 @@ MAGP_CHUNKS = int(os.environ.get("EEGAN_BENCH_MAGP_CHUNKS", "1"))
 # Ship image pyramids as uint8 (RUNTIME.UINT8_TRANSFER): 4x smaller batch
 # arguments in HBM and on the tunnel — part of the large-batch fit recipe.
 USE_UINT8 = os.environ.get("EEGAN_BENCH_UINT8", "0") == "1"
+# Space-to-depth lowering for the generator's narrow high-res convs
+# (RUNTIME.S2D_CONVS).
+USE_S2D = os.environ.get("EEGAN_BENCH_S2D", "0") == "1"
 SCAN_K = int(os.environ.get("EEGAN_BENCH_SCAN", "8"))
 WINDOWS = int(os.environ.get("EEGAN_BENCH_WINDOWS", "3"))
 ITERS = int(os.environ.get("EEGAN_BENCH_ITERS", "4"))
@@ -165,6 +170,7 @@ def main():
     config.RUNTIME.REMAT_IMAGE_ENCODER = USE_REMAT_IE
     config.RUNTIME.DENSE_D = DENSE_D
     config.RUNTIME.MAGP_CHUNKS = MAGP_CHUNKS
+    config.RUNTIME.S2D_CONVS = USE_S2D
 
     mesh = make_mesh(f"data:{n_dev}")
     models = build_models(config, n_words=5450)  # CUB vocab size
@@ -254,6 +260,7 @@ def main():
         "dense_d": DENSE_D,
         "magp_chunks": MAGP_CHUNKS,
         "uint8": USE_UINT8,
+        "s2d": USE_S2D,
         "gf_dim": GF_DIM,
         "use_class": USE_CLASS,
         "batch_per_chip": BATCH_PER_CHIP,

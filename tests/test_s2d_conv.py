@@ -114,3 +114,44 @@ def test_generator_s2d_matches_plain():
     for a, b_ in zip(out_ref, out_s2d):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_train_step_s2d_matches_on_mesh():
+    """Full fused train step, 8-device mesh, S2D_CONVS on vs off: the
+    lowering must leave every loss metric unchanged (summation order only)
+    and produce a finite update — the same guarantee dryrun_multichip
+    asserts for the plain path."""
+    from eegan_tpu.config import Config
+    from eegan_tpu.data.synthetic import synthetic_batch
+    from eegan_tpu.models.factory import build_models
+    from eegan_tpu.parallel.mesh import make_mesh, shard_batch
+    from eegan_tpu.training.state import create_train_state
+    from eegan_tpu.training.steps import make_train_step
+
+    def cfg(s2d):
+        c = Config()
+        c.GAN.GF_DIM = 8
+        c.GAN.DF_DIM = 8
+        c.TRAIN.BATCH_SIZE = 8
+        c.TRAIN.CLASS_NUM = 10
+        c.RUNTIME.COMPUTE_DTYPE = "float32"
+        c.RUNTIME.S2D_CONVS = s2d
+        return c
+
+    n_words = 60
+    mesh = make_mesh("data:8")
+    c_off, c_on = cfg(False), cfg(True)
+    models_off = build_models(c_off, n_words=n_words)
+    models_on = build_models(c_on, n_words=n_words)
+    state, frozen = create_train_state(c_off, models_off, jax.random.PRNGKey(0))
+    batch = shard_batch(synthetic_batch(c_off, 8, n_words=n_words), mesh)
+
+    _, m_off = make_train_step(c_off, models_off, mesh=mesh, donate=False)(
+        state, frozen, batch, jax.random.PRNGKey(1))
+    s_on, m_on = make_train_step(c_on, models_on, mesh=mesh, donate=False)(
+        state, frozen, batch, jax.random.PRNGKey(1))
+
+    assert int(s_on.step) == 1
+    for k in m_off:
+        np.testing.assert_allclose(float(m_on[k]), float(m_off[k]),
+                                   rtol=1e-3, atol=1e-5, err_msg=k)
