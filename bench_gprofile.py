@@ -186,6 +186,30 @@ def main():
         print(json.dumps(row))
         sys.stdout.flush()
 
+    # ToImage heads (BN -> lrelu -> conv3x3(3) -> tanh) at each scale.
+    from eegan_tpu.models.layers import ToImage
+
+    for scale, ch in ((64, ngf * 4), (128, ngf * 2), (256, ngf * 1)):
+        x = jax.random.normal(key, (b, scale, scale, ch), jnp.float32)
+        head = ToImage(dtype=jnp.bfloat16, name=f"toimg{scale}")
+        hvars = head.init(key, x, True)
+
+        def loss(p):
+            y = head.apply(
+                {"params": p, "batch_stats": hvars["batch_stats"]},
+                x, True, mutable=["batch_stats"])[0]
+            return y.astype(jnp.float32).sum()
+
+        comp = jax.jit(jax.grad(loss)).lower(hvars["params"]).compile()
+        ms = _time_compiled(comp, (hvars["params"],)) * 1e3
+        total_block += ms
+        total_s2d += ms
+        print(json.dumps({"metric": "gprofile_toimage", "res": scale,
+                          "ch": ch, "block_ms": round(ms, 2),
+                          "value": round(ms, 2), "unit": "ms",
+                          "vs_baseline": 1.0}))
+        sys.stdout.flush()
+
     print(json.dumps({
         "metric": "gprofile_totals", "value": round(total_block, 1),
         "unit": "ms", "vs_baseline": 1.0,
