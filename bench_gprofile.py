@@ -51,6 +51,25 @@ def _time_compiled(compiled, args, iters=8, windows=3):
     return best
 
 
+def _grad_program(loss_fn, args):
+    """Compile the full fwd+bwd of ``loss_fn`` w.r.t. EVERY argument.
+
+    Differentiating w.r.t. all args (params AND activations) and using a
+    quadratic reduction keeps the forward alive: with a linear sum loss
+    and params-only grads, XLA dead-code-eliminates the forward conv and
+    the dx conv, leaving only the dW conv (~1/3 of real fwd+bwd cost) —
+    which is what an earlier version of this script silently measured.
+    Returns (compiled, cost_flops_tflop, time_args).
+    """
+    import jax
+
+    g = jax.jit(jax.grad(loss_fn, argnums=tuple(range(len(args)))))
+    comp = g.lower(*args).compile()
+    cost = comp.cost_analysis()
+    cost = cost[0] if isinstance(cost, list) else cost
+    return comp, float(cost.get("flops", 0.0)) / 1e12
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -62,19 +81,22 @@ def main():
     ngf = int(os.environ.get("EEGAN_GPROF_NGF", "32"))
     key = jax.random.PRNGKey(0)
 
-    # (name, spatial_in, in_ch, out_ch, upsample_first)
+    # (name, spatial_in, in_ch, out_ch, upsample_first, pred_mask)
     blocks = [
-        ("block0", 4, ngf * 8, ngf * 8, False),
-        ("block1", 4, ngf * 8, ngf * 8, True),
-        ("block2", 8, ngf * 8, ngf * 8, True),
-        ("block3", 16, ngf * 8, ngf * 8, True),
-        ("block4", 32, ngf * 8, ngf * 4, True),
-        ("block5", 64, ngf * 4, ngf * 2, True),
-        ("block6", 128, ngf * 2, ngf * 1, True),
+        ("block0", 4, ngf * 8, ngf * 8, False, True),
+        ("block1", 4, ngf * 8, ngf * 8, True, True),
+        ("block2", 8, ngf * 8, ngf * 8, True, True),
+        ("block3", 16, ngf * 8, ngf * 8, True, True),
+        ("block4", 32, ngf * 8, ngf * 4, True, True),
+        ("block5", 64, ngf * 4, ngf * 2, True, True),
+        ("block6", 128, ngf * 2, ngf * 1, True, False),  # no mask head at 256
     ]
 
+    def sq(y):
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
     def time_convs(s, cin, cout, s2d):
-        """The block's two 3x3 convs alone, fwd+bwd, at (b, s, s, *)."""
+        """The block's two 3x3 convs alone, REAL fwd+bwd (dx+dW), bf16."""
         conv_a = conv3x3(cout, dtype=jnp.bfloat16, s2d=s2d, name="a")
         conv_b = conv3x3(cout, dtype=jnp.bfloat16, s2d=s2d, name="bconv")
         x1 = jax.random.normal(key, (b, s, s, cin), jnp.bfloat16)
@@ -82,42 +104,36 @@ def main():
         x2 = jax.random.normal(key, (b, s, s, cout), jnp.bfloat16)
         pb = conv_b.init(key, x2)["params"]
 
-        def convs_loss(params):
-            pa, pb = params
-            y1 = conv_a.apply({"params": pa}, x1)
-            y2 = conv_b.apply({"params": pb}, x2)
-            return y1.astype(jnp.float32).sum() + y2.astype(jnp.float32).sum()
+        def convs_loss(pa, pb, x1, x2):
+            return (sq(conv_a.apply({"params": pa}, x1))
+                    + sq(conv_b.apply({"params": pb}, x2)))
 
-        comp = jax.jit(jax.grad(convs_loss)).lower((pa, pb)).compile()
-        cost = comp.cost_analysis()
-        cost = cost[0] if isinstance(cost, list) else cost
-        tf = float(cost.get("flops", 0.0)) / 1e12
-        ms = _time_compiled(comp, ((pa, pb),)) * 1e3
+        args = (pa, pb, x1, x2)
+        comp, tf = _grad_program(convs_loss, args)
+        ms = _time_compiled(comp, args) * 1e3
         return ms, tf
 
-    def time_block(name, s_in, cin, cout, up, s2d):
+    def time_block(name, s_in, cin, cout, up, pred, s2d):
         feat = jax.random.normal(key, (b, s_in, s_in, cin), jnp.float32)
         cond = jax.random.normal(key, (b, 256), jnp.float32)
         mask_logits = jax.random.normal(key, (b, s_in, s_in, 1), jnp.float32)
-        blk = SAGBBlock(cout, pred_mask=True, dtype=jnp.bfloat16, up=up,
+        blk = SAGBBlock(cout, pred_mask=pred, dtype=jnp.bfloat16, up=up,
                         s2d=s2d, name=name)
         bvars = blk.init(key, feat, cond, cond, mask_logits, True)
 
-        def block_loss(p):
+        def block_loss(p, feat, cond):
             out = blk.apply({"params": p, "batch_stats": bvars["batch_stats"]},
                             feat, cond, cond, mask_logits, True,
                             mutable=["batch_stats"])[0]
             o, m = out
-            r = o.astype(jnp.float32).sum()
+            r = sq(o)
             if m is not None:
-                r = r + m.astype(jnp.float32).sum()
+                r = r + sq(m)
             return r
 
-        comp = jax.jit(jax.grad(block_loss)).lower(bvars["params"]).compile()
-        cost = comp.cost_analysis()
-        cost = cost[0] if isinstance(cost, list) else cost
-        tf = float(cost.get("flops", 0.0)) / 1e12
-        ms = _time_compiled(comp, (bvars["params"],)) * 1e3
+        args = (bvars["params"], feat, cond)
+        comp, tf = _grad_program(block_loss, args)
+        ms = _time_compiled(comp, args) * 1e3
         return ms, tf
 
     def time_cum(name, s_prev, cin_prev, cur_ch, s2d):
@@ -128,20 +144,21 @@ def main():
         blk = CumBlock(cur_ch, dtype=jnp.bfloat16, s2d=s2d, name=name)
         bvars = blk.init(key, prev, cur)
 
-        def loss(p):
-            return blk.apply({"params": p}, prev, cur).astype(jnp.float32).sum()
+        def loss(p, prev, cur):
+            return sq(blk.apply({"params": p}, prev, cur))
 
-        comp = jax.jit(jax.grad(loss)).lower(bvars["params"]).compile()
-        ms = _time_compiled(comp, (bvars["params"],)) * 1e3
+        args = (bvars["params"], prev, cur)
+        comp, _ = _grad_program(loss, args)
+        ms = _time_compiled(comp, args) * 1e3
         return ms
 
     total_conv = 0.0
     total_block = 0.0
     total_s2d = 0.0
-    for name, s_in, cin, cout, up in blocks:
+    for name, s_in, cin, cout, up, pred in blocks:
         s = s_in * 2 if up else s_in
         conv_ms, conv_tf = time_convs(s, cin, cout, s2d=False)
-        blk_ms, blk_tf = time_block(name, s_in, cin, cout, up, s2d=False)
+        blk_ms, blk_tf = time_block(name, s_in, cin, cout, up, pred, s2d=False)
         row = {
             "metric": "gprofile_block", "block": name,
             "res": s, "cin": cin, "cout": cout,
@@ -153,7 +170,8 @@ def main():
         }
         if cout < 128:
             s2d_conv_ms, _ = time_convs(s, cin, cout, s2d=True)
-            s2d_blk_ms, _ = time_block(name, s_in, cin, cout, up, s2d=True)
+            s2d_blk_ms, _ = time_block(name, s_in, cin, cout, up, pred,
+                                       s2d=True)
             row["s2d_conv_ms"] = round(s2d_conv_ms, 2)
             row["s2d_block_ms"] = round(s2d_blk_ms, 2)
             row["s2d_speedup"] = round(blk_ms / s2d_blk_ms, 2)
@@ -194,14 +212,15 @@ def main():
         head = ToImage(dtype=jnp.bfloat16, name=f"toimg{scale}")
         hvars = head.init(key, x, True)
 
-        def loss(p):
+        def loss(p, x):
             y = head.apply(
                 {"params": p, "batch_stats": hvars["batch_stats"]},
                 x, True, mutable=["batch_stats"])[0]
-            return y.astype(jnp.float32).sum()
+            return sq(y)
 
-        comp = jax.jit(jax.grad(loss)).lower(hvars["params"]).compile()
-        ms = _time_compiled(comp, (hvars["params"],)) * 1e3
+        args = (hvars["params"], x)
+        comp, _ = _grad_program(loss, args)
+        ms = _time_compiled(comp, args) * 1e3
         total_block += ms
         total_s2d += ms
         print(json.dumps({"metric": "gprofile_toimage", "res": scale,

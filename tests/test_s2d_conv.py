@@ -153,5 +153,6 @@ def test_fused_train_step_s2d_matches_on_mesh():
 
     assert int(s_on.step) == 1
     for k in m_off:
+        assert np.isfinite(float(m_on[k])), f"metric {k} not finite"
         np.testing.assert_allclose(float(m_on[k]), float(m_off[k]),
                                    rtol=1e-3, atol=1e-5, err_msg=k)

@@ -40,6 +40,10 @@ def main():
     grad_ref = jax.jit(jax.grad(lambda p: loss(g_ref, p)))(params)
     grad_s2d = jax.jit(jax.grad(lambda p: loss(g_s2d, p)))(params)
 
+    assert (jax.tree_util.tree_structure(grad_ref)
+            == jax.tree_util.tree_structure(grad_s2d)), \
+        "grad trees differ in structure — lowering is not param-compatible"
+
     worst_rel, worst_name, n_bad = 0.0, "", 0
     flat_ref = jax.tree_util.tree_flatten_with_path(grad_ref)[0]
     flat_s2d = jax.tree_util.tree_leaves(grad_s2d)
@@ -47,6 +51,13 @@ def main():
         a = np.asarray(a, np.float64)
         b_ = np.asarray(b_, np.float64)
         name = jax.tree_util.keystr(path)
+        # Check BOTH sides: a NaN reference grad would otherwise make
+        # rel = NaN, and NaN comparisons are all False — a silent pass in
+        # exactly the miscompile case this gate exists for.
+        if not np.isfinite(a).all():
+            print(f"NON-FINITE reference grad at {name}", file=sys.stderr)
+            n_bad += 1
+            continue
         if not np.isfinite(b_).all():
             print(f"NON-FINITE s2d grad at {name}", file=sys.stderr)
             n_bad += 1
