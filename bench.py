@@ -179,10 +179,10 @@ def main():
 
     host = synthetic_batch(config, config.TRAIN.BATCH_SIZE, n_words=5450)
     if USE_UINT8:
+        from eegan_tpu.data.transforms import float_to_u8
         for k in list(host):
             if k.startswith("img"):
-                arr = np.clip((np.asarray(host[k]) + 1.0) * 127.5, 0, 255)
-                host[k] = np.floor(arr + 0.5).astype(np.uint8)
+                host[k] = float_to_u8(host[k])
     rng = jax.random.PRNGKey(1)
 
     # FLOPs from the single-step program's cost model.

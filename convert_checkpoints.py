@@ -322,9 +322,13 @@ def main():
             asd = tc.load_state_dict(args.attr_enhance)
             attr_params = tc.convert_attr_enhance(
                 asd, {"params": state.attr_params})["params"]
+        # Drop any EMA subtrees create_train_state seeded from random init:
+        # save_generator prefers state.g_ema, and the converted snapshot must
+        # carry the converted weights, not an untouched EMA iterate.
         state = state.replace(g_params=g_vars["params"],
                               g_stats=g_vars["batch_stats"],
-                              attr_params=attr_params)
+                              attr_params=attr_params,
+                              g_ema=None, attr_ema=None)
         epoch = args.epoch or 1
         path = mgr.save_generator(epoch, state)
         print(f"converted generator snapshot -> {path}")

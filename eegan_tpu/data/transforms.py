@@ -63,6 +63,16 @@ def quantize_u8(arr: np.ndarray) -> np.ndarray:
     return np.floor(np.clip(arr, 0.0, 255.0) + 0.5).astype(np.uint8)
 
 
+def float_to_u8(arr: np.ndarray) -> np.ndarray:
+    """[-1, 1] float image -> uint8 [0, 255] with the production rounding.
+
+    The exact inverse of the on-device normalisation
+    (`training/steps.py::normalize_image_leaves`, RUNTIME.UINT8_TRANSFER);
+    benches/dryruns that synthesise uint8 pyramids must use this so they
+    quantise identically to the data pipeline they exercise."""
+    return quantize_u8((np.asarray(arr, np.float32) + 1.0) * 127.5)
+
+
 def pyramid_from_array(arr: np.ndarray, imsizes: Sequence[int],
                        rng: Optional[np.random.Generator],
                        augment: bool = True,
@@ -91,8 +101,10 @@ def pyramid_from_array(arr: np.ndarray, imsizes: Sequence[int],
 
     if (oh, ow) == (h, w):
         # already at the augmentation frame (preload caches there); the
-        # scale-1 triangle filter is an exact identity
-        resized = arr.astype(np.float32)
+        # scale-1 triangle filter is an exact identity. Stay uint8 so the
+        # hot preload path crops the small window first instead of
+        # float-converting the whole cached frame.
+        resized = arr
     elif have_native:
         resized = native.resize_bilinear(arr, (oh, ow))  # float32 [0,255]
     else:
@@ -112,7 +124,11 @@ def pyramid_from_array(arr: np.ndarray, imsizes: Sequence[int],
     crop = np.ascontiguousarray(crop)
 
     out = []
-    crop_u8 = np.clip(crop, 0, 255).astype(np.uint8)
+    if crop.dtype == np.uint8:  # identity fast path stayed uint8
+        crop_u8 = crop
+        crop = crop.astype(np.float32)
+    else:
+        crop_u8 = np.clip(crop, 0, 255).astype(np.uint8)
     for s in imsizes:
         if s == base:
             branch = crop

@@ -25,13 +25,13 @@ conv/dense kernels and their Adam moments and EMA copies are split.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-FSDP_AXIS = "fsdp"
+from eegan_tpu.parallel.mesh import FSDP_AXIS, has_fsdp_axis  # noqa: F401 (re-export)
 
 # Leaves smaller than this stay replicated: splitting a small kernel trades
 # an all-gather (and, for the per-sample conditioning MLPs, awkward GSPMD
@@ -40,11 +40,6 @@ FSDP_AXIS = "fsdp"
 # all their Adam/EMA copies sharded while leaving the 256×256 text-MLPs and
 # every bias replicated.
 MIN_SHARD_ELEMS = 2 ** 17
-
-
-def has_fsdp_axis(mesh: Optional[Mesh]) -> bool:
-    return (mesh is not None and FSDP_AXIS in mesh.axis_names
-            and mesh.shape[FSDP_AXIS] > 1)
 
 
 def fsdp_spec(shape, axis_size: int,

@@ -26,6 +26,16 @@ DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 
 
+def has_fsdp_axis(mesh: Optional[Mesh]) -> bool:
+    """True when the mesh carries an active (size>1) ``fsdp`` axis.
+
+    Single source of truth for the predicate — `parallel/fsdp.py` and
+    `batch_axes` below both use it, so the axis name and the "active"
+    condition cannot drift apart."""
+    return (mesh is not None and FSDP_AXIS in mesh.axis_names
+            and mesh.shape[FSDP_AXIS] > 1)
+
+
 def batch_axes(mesh: Mesh):
     """Mesh axes the batch dimension is split over.
 
@@ -33,7 +43,7 @@ def batch_axes(mesh: Mesh):
     present (see `parallel/fsdp.py`) the batch shards over BOTH axes so
     every device keeps doing data-parallel work while parameters shard over
     ``fsdp`` only — the standard GSPMD FSDP layout."""
-    if FSDP_AXIS in mesh.axis_names and mesh.shape[FSDP_AXIS] > 1:
+    if has_fsdp_axis(mesh):
         return (DATA_AXIS, FSDP_AXIS)
     return DATA_AXIS
 

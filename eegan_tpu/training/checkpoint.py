@@ -44,19 +44,26 @@ class CheckpointManager:
         try:
             restored = self._mgr.restore(
                 epoch, args=ocp.args.StandardRestore(template))
-        except Exception:
+        except Exception as first_err:
             if template.g_ema is None:
                 raise
-            # TRAIN.G_EMA_DECAY was turned on after this checkpoint was
-            # written: the saved tree lacks the g_ema/attr_ema subtrees.
-            # Restore without them and seed the EMA from the restored params
-            # so EMA can be enabled mid-run.
+            # Recoverable only if TRAIN.G_EMA_DECAY was turned on after this
+            # checkpoint was written (saved tree lacks g_ema/attr_ema):
+            # restore without them and seed the EMA from the restored params.
+            # Any other failure (transient I/O, corruption in a checkpoint
+            # that DOES contain the EMA subtrees) must surface, not be
+            # "fixed" by silently resetting the EMA — the bare restore below
+            # fails on structure mismatch in that case and we re-raise the
+            # original error.
             import jax
             import jax.numpy as jnp
 
             bare = template.replace(g_ema=None, attr_ema=None)
-            restored = self._mgr.restore(
-                epoch, args=ocp.args.StandardRestore(bare))
+            try:
+                restored = self._mgr.restore(
+                    epoch, args=ocp.args.StandardRestore(bare))
+            except Exception:
+                raise first_err
             copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
             restored = restored.replace(g_ema=copy(restored.g_params),
                                         attr_ema=copy(restored.attr_params))

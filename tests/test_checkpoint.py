@@ -96,6 +96,28 @@ def test_restore_pre_ema_checkpoint_into_ema_state(tiny_state, tmp_path):
     mgr.close()
 
 
+def test_restore_failure_with_ema_checkpoint_propagates(tiny_state, tmp_path):
+    """A restore failure on a checkpoint that DOES contain the EMA subtrees
+    must surface, not be silently 'fixed' by resetting the EMA to the raw
+    params (round-3 review finding: the pre-EMA fallback may only fire for
+    genuinely pre-EMA checkpoints)."""
+    _, state, _ = tiny_state
+    ema_state = state.replace(
+        g_ema=jax.tree_util.tree_map(jnp.copy, state.g_params),
+        attr_ema=jax.tree_util.tree_map(jnp.copy, state.attr_params))
+    mgr = CheckpointManager(str(tmp_path / "Model"))
+    mgr.save_state(5, ema_state)
+
+    # A template whose g_ema structure doesn't match the saved one makes the
+    # first restore fail; the checkpoint still has EMA subtrees, so the
+    # pre-EMA fallback must NOT swallow the error.
+    bad_template = ema_state.replace(
+        g_ema={"bogus": jnp.zeros((2, 2), jnp.float32)})
+    with pytest.raises(Exception):
+        mgr.restore_state(bad_template)
+    mgr.close()
+
+
 def test_frozen_roundtrip(tiny_state, tmp_path):
     _, _, frozen = tiny_state
     mgr = CheckpointManager(str(tmp_path / "Model"))

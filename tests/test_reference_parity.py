@@ -199,11 +199,14 @@ def test_convert_checkpoints_cli(ref_models, tmp_path, monkeypatch):
     import convert_checkpoints as cc
 
     model_dir = str(tmp_path / "Model")
+    # G_EMA on: regression for the snapshot silently carrying the random-init
+    # EMA seed instead of the converted weights (round-3 review finding).
     monkeypatch.setattr(sys, "argv", [
         "convert_checkpoints.py", "--cfg", "cfg/bird.yml", "--n_words", "50",
         "--netG", g_pth, "--attr_enhance", a_pth, "--epoch", "42",
         "--out_model_dir", model_dir,
         "--set", "GAN.GF_DIM=8", "--set", "RUNTIME.COMPUTE_DTYPE=float32",
+        "--set", "TRAIN.G_EMA_DECAY=0.995",
     ])
     cc.main()
 

@@ -90,10 +90,10 @@ def test_train_step_uint8_batch_matches_float(setup):
 
     host = synthetic_batch(c, 8, n_words=N_WORDS)
     host_u8, host_f = dict(host), dict(host)
+    from eegan_tpu.data.transforms import float_to_u8
     for k in list(host):
         if k.startswith("img"):
-            u8 = np.floor(np.clip((host[k] + 1.0) * 127.5, 0, 255) + 0.5
-                          ).astype(np.uint8)
+            u8 = float_to_u8(host[k])
             host_u8[k] = u8
             host_f[k] = (u8.astype(np.float32) / 127.5 - 1.0)
 
