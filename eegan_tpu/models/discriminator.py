@@ -39,13 +39,17 @@ class ResDown(nn.Module):
     fout: int
     downsample: bool = True
     dtype: Dtype = jnp.float32
+    # Space-to-depth lowering for conv_r2 when fout is lane-starved
+    # (RUNTIME.S2D_CONVS; ops/s2d_conv.py) — identical math + param tree.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
         fin = x.shape[-1]
         h = conv4x4_down(self.fout, dtype=self.dtype, name="conv_r1")(x)
         h = leaky_relu(h, 0.2)
-        h = conv3x3(self.fout, dtype=self.dtype, name="conv_r2")(h)
+        h = conv3x3(self.fout, dtype=self.dtype, name="conv_r2",
+                    s2d=self.s2d)(h)
         h = leaky_relu(h, 0.2)
 
         sc = x
@@ -146,14 +150,22 @@ class Discriminator(nn.Module):
     # works through the MAGP double-backward too (jax.checkpoint composes
     # with higher-order AD).
     remat: bool = False
+    # RUNTIME.S2D_CONVS: space-to-depth lowering for the lane-starved 3x3
+    # convs — conv_img (Cout=ndf at the tower's full input resolution, the
+    # densest-spatial/narrowest-channel op in the step) and the early
+    # blocks' conv_r2 where fout < 128. Identical math and param tree
+    # (ops/s2d_conv.py); gated per-conv so full-width convs keep the plain
+    # lowering (the 16/9 FLOP premium buys nothing at full lanes).
+    s2d: bool = False
 
     def setup(self):
         ladder = channel_ladder(self.ndf, self.scale)
         block_cls = nn.remat(ResDown) if self.remat else ResDown
-        self.conv_img = nn.Conv(self.ndf, (3, 3), padding=((1, 1), (1, 1)),
-                                use_bias=True, kernel_init=torch_kernel_init,
-                                dtype=self.dtype, name="conv_img")
-        self.blocks = [block_cls(ch, dtype=self.dtype, name=f"block{i}")
+        self.conv_img = conv3x3(self.ndf, use_bias=True, dtype=self.dtype,
+                                name="conv_img",
+                                s2d=self.s2d and self.ndf < 128)
+        self.blocks = [block_cls(ch, dtype=self.dtype, name=f"block{i}",
+                                 s2d=self.s2d and ch < 128)
                        for i, ch in enumerate(ladder)]
         if self.disc_class:
             self.COND_DNET = DiscCond(ladder[-1], self.class_nums,

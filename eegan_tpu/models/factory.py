@@ -45,7 +45,8 @@ def build_models(config: Config, n_words: int) -> ModelBundle:
         discs.append(Discriminator(
             ndf=config.GAN.DF_DIM, scale=s, disc_class=use_class,
             class_nums=config.TRAIN.CLASS_NUM, dtype=dt,
-            remat=config.RUNTIME.REMAT))
+            remat=config.RUNTIME.REMAT,
+            s2d=config.RUNTIME.S2D_CONVS))
     return ModelBundle(
         generator=Generator(ngf=config.GAN.GF_DIM, nz=config.GAN.Z_DIM,
                             dtype=dt, remat=config.RUNTIME.REMAT,

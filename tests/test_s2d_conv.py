@@ -116,6 +116,41 @@ def test_generator_s2d_matches_plain():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_discriminator_s2d_matches_plain():
+    """D tower with the s2d lowering: same params, same outputs, same grads
+    w.r.t. params AND the input image (the MAGP gradient-penalty path
+    differentiates D w.r.t. its input — reference `train.py:378-402`)."""
+    from eegan_tpu.models.discriminator import Discriminator
+
+    b = 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, 64, 64, 3), jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (b, 256), jnp.float32)
+
+    # ndf=8 makes every ladder channel < 128, so all blocks take the s2d path
+    d_ref = Discriminator(ndf=8, scale=64)
+    d_s2d = Discriminator(ndf=8, scale=64, s2d=True)
+    v = d_ref.init(jax.random.PRNGKey(2), x, cond)
+    v2 = d_s2d.init(jax.random.PRNGKey(2), x, cond)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+
+    np.testing.assert_allclose(np.asarray(d_s2d.apply(v, x, cond)),
+                               np.asarray(d_ref.apply(v, x, cond)),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(mod, params, xx):
+        return jnp.sum(mod.apply(params, xx, cond))
+
+    gp_ref, gx_ref = jax.grad(loss, argnums=(1, 2))(d_ref, v, x)
+    gp_s2d, gx_s2d = jax.grad(loss, argnums=(1, 2))(d_s2d, v, x)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gp_ref),
+                     jax.tree_util.tree_leaves(gp_s2d)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_s2d), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_fused_train_step_s2d_matches_on_mesh():
     """Full fused train step, 8-device mesh, S2D_CONVS on vs off: the
     lowering must leave every loss metric unchanged (summation order only)
