@@ -79,6 +79,7 @@ def main():
     c.RUNTIME.DATA_PRELOAD = PRELOAD
     c.RUNTIME.DATA_WORKERS = WORKERS
     c.RUNTIME.UINT8_TRANSFER = UINT8
+    c.RUNTIME.ALLOW_RANDOM_ENCODERS = True  # synthetic-corpus smoke bench
 
     out_dir = tempfile.mkdtemp(prefix="eegan_e2e_out_")
     trainer = Trainer(c, out_dir, data_workers=WORKERS)
@@ -98,7 +99,8 @@ def main():
     dt = time.perf_counter() - t0
 
     # a timed run of a NaN-computing program is not a benchmark (PERF.md §2a)
-    err_g = float(np.asarray(trainer.last_metrics["errG/total"]))
+    # last_metrics is K-stacked under STEPS_PER_DISPATCH>1; check the last
+    err_g = float(np.asarray(trainer.last_metrics["errG/total"]).reshape(-1)[-1])
     assert np.isfinite(err_g), f"non-finite errG/total after run: {err_g}"
 
     imgs = EPOCHS * n_iters * BATCH

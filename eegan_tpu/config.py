@@ -176,6 +176,12 @@ class RuntimeConfig:
     # ToTensor reads quantised PIL images); differs from our float path by
     # at most 0.5/127.5 per pixel (tests/test_data.py).
     UINT8_TRANSFER: bool = False
+    # Permit training/eval with randomly initialised frozen DAMSM encoders
+    # when TEXT.DAMSM_NAME is unset. The reference hard-requires the
+    # pretrained .pth (train.py:233-248); random encoders silently destroy
+    # text conditioning, so production entrypoints refuse unless this smoke
+    # flag (or --synthetic) is set explicitly.
+    ALLOW_RANDOM_ENCODERS: bool = False
 
 
 @dataclass

@@ -52,7 +52,11 @@ def load_frozen_encoders(config: Config, models: ModelBundle,
 
     Priority: torch .pth via the converter (reference loads AttnGAN
     checkpoints, `train.py:233-248`) > previously converted Orbax dir >
-    random init (smoke mode, warned).
+    random init — but random init is ONLY allowed with the explicit
+    RUNTIME.ALLOW_RANDOM_ENCODERS smoke flag (train.py --synthetic sets it);
+    anything else hard-fails, matching the reference's hard requirement
+    (`train.py:233-248`). A run that silently trains against random
+    encoders has no text conditioning at all.
     """
     name = config.TEXT.DAMSM_NAME
     if name and name.endswith(".pth") and os.path.isfile(name):
@@ -67,7 +71,19 @@ def load_frozen_encoders(config: Config, models: ModelBundle,
             "text_vars": init_frozen.text_vars,
             "image_vars": init_frozen.image_vars})
         return FrozenEncoders(**restored)
-    print("WARNING: TEXT.DAMSM_NAME not found — using randomly initialised "
+    if name:
+        raise FileNotFoundError(
+            f"TEXT.DAMSM_NAME={name!r} is neither a .pth file nor a "
+            "converted Orbax directory")
+    if not config.RUNTIME.ALLOW_RANDOM_ENCODERS:
+        raise RuntimeError(
+            "TEXT.DAMSM_NAME is unset: training would proceed with randomly "
+            "initialised frozen DAMSM encoders and NO text conditioning. "
+            "Point TEXT.DAMSM_NAME at the pretrained encoders (reference "
+            "train.py:233-248 hard-requires them), or opt into smoke mode "
+            "explicitly with --synthetic / "
+            "--set RUNTIME.ALLOW_RANDOM_ENCODERS=true")
+    print("WARNING: TEXT.DAMSM_NAME unset — using randomly initialised "
           "frozen encoders (smoke mode)")
     return init_frozen
 
@@ -249,7 +265,6 @@ class Trainer:
                     self.state, metrics = self.multi_train_step(
                         self.state, self.frozen, batch, step_rng)
                     n_sub = next(iter(metrics.values())).shape[0]
-                    metrics = {key: v[-1] for key, v in metrics.items()}
                 else:
                     self.state, metrics = self.train_step(
                         self.state, self.frozen, batch, step_rng)
@@ -268,7 +283,15 @@ class Trainer:
 
                 if i % log_every == 0:
                     self.iters_cnt += 1
-                    scalars = {key: float(v) for key, v in metrics.items()}
+                    # K-stacked metrics reduce by MEAN so the logged value
+                    # reflects every measured sub-step, not a 1-in-K
+                    # subsample (reference logs each UPDATE_INTERVAL,
+                    # train.py:462-498). Reduction happens only at log time
+                    # — per-iteration it would add ~|metrics| tiny
+                    # dispatches to the hot loop.
+                    scalars = {
+                        key: float(np.asarray(v).mean())
+                        for key, v in metrics.items()}
                     ips = self.timer.images_per_sec
                     if ips is not None:
                         scalars["perf/images_per_sec"] = ips

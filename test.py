@@ -75,6 +75,10 @@ def main():
     apply_overrides(config, args.overrides)
     if args.batch_size:
         config.TRAIN.BATCH_SIZE = args.batch_size
+    if args.debug:
+        # Debug sweeps may run without the pretrained DAMSM encoders;
+        # production sweeps hard-require them (load_frozen_encoders).
+        config.RUNTIME.ALLOW_RANDOM_ENCODERS = True
 
     out_root = os.path.join(config.SAVE_DIR or ".",
                             args.debug_output_dir if args.debug

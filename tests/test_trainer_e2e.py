@@ -30,7 +30,33 @@ def config():
     c.RUNTIME.COMPUTE_DTYPE = "float32"
     c.RUNTIME.MESH = "data:8"
     c.RUNTIME.DATA_WORKERS = 0
+    c.RUNTIME.ALLOW_RANDOM_ENCODERS = True
     return c
+
+
+def test_missing_encoders_hard_fail():
+    """Production runs must not silently train with random frozen encoders
+    (reference train.py:233-248 hard-requires the DAMSM .pth)."""
+    from eegan_tpu.models.factory import build_models
+    from eegan_tpu.training.state import create_train_state
+    from eegan_tpu.training.trainer import load_frozen_encoders
+
+    import jax
+
+    c = Config()
+    c.GAN.GF_DIM = 4
+    c.GAN.DF_DIM = 4
+    models = build_models(c, n_words=20)
+    _, init_frozen = create_train_state(c, models, jax.random.PRNGKey(0))
+
+    with pytest.raises(RuntimeError, match="ALLOW_RANDOM_ENCODERS"):
+        load_frozen_encoders(c, models, init_frozen)
+    c.TEXT.DAMSM_NAME = "/nonexistent/damsm.pth"
+    with pytest.raises(FileNotFoundError):
+        load_frozen_encoders(c, models, init_frozen)
+    c.TEXT.DAMSM_NAME = ""
+    c.RUNTIME.ALLOW_RANDOM_ENCODERS = True
+    assert load_frozen_encoders(c, models, init_frozen) is init_frozen
 
 
 def test_train_checkpoint_resume(config, tmp_path_factory):
@@ -80,4 +106,17 @@ def test_train_steps_per_dispatch(config, tmp_path_factory):
     with open(metrics_path) as f:
         records = [json.loads(line) for line in f]
     assert records and "errG/total" in records[0]
+
+    # Logged scalars must be the MEAN over the K scanned sub-steps, not a
+    # 1-in-K subsample (VERDICT r3 #7): re-run one K=2 dispatch and compare
+    # the logged value against the stacked per-step metrics.
+    import numpy as np
+
+    trainer.train(max_epochs=1, max_iters_per_epoch=2)
+    stacked = np.asarray(trainer.last_metrics["errG/total"])
+    assert stacked.shape == (2,)
+    with open(metrics_path) as f:
+        records = [json.loads(line) for line in f]
+    assert records[-1]["errG/total"] == pytest.approx(
+        float(stacked.mean()), rel=1e-5)
     trainer.close()

@@ -115,6 +115,9 @@ def main():
         from eegan_tpu.data.synthetic import SyntheticDataset
 
         dataset = SyntheticDataset(config)
+        # Smoke mode: random frozen encoders are acceptable here and only
+        # here (load_frozen_encoders hard-fails otherwise).
+        config.RUNTIME.ALLOW_RANDOM_ENCODERS = True
 
     workers = 0 if args.debug else None
     trainer = Trainer(config, output_dir, dataset=dataset,
