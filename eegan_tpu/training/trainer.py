@@ -71,10 +71,18 @@ def load_frozen_encoders(config: Config, models: ModelBundle,
             "text_vars": init_frozen.text_vars,
             "image_vars": init_frozen.image_vars})
         return FrozenEncoders(**restored)
-    if name:
+    if name and not config.RUNTIME.ALLOW_RANDOM_ENCODERS:
         raise FileNotFoundError(
             f"TEXT.DAMSM_NAME={name!r} is neither a .pth file nor a "
             "converted Orbax directory")
+    if name:
+        # Explicit smoke mode: a configured-but-absent path downgrades to a
+        # warning (e.g. `test.py --debug` with the stock cfg on a box
+        # without the AttnGAN artefacts).
+        print(f"WARNING: TEXT.DAMSM_NAME={name!r} not found — using "
+              "randomly initialised frozen encoders "
+              "(RUNTIME.ALLOW_RANDOM_ENCODERS)")
+        return init_frozen
     if not config.RUNTIME.ALLOW_RANDOM_ENCODERS:
         raise RuntimeError(
             "TEXT.DAMSM_NAME is unset: training would proceed with randomly "

@@ -57,6 +57,10 @@ def test_missing_encoders_hard_fail():
     c.TEXT.DAMSM_NAME = ""
     c.RUNTIME.ALLOW_RANDOM_ENCODERS = True
     assert load_frozen_encoders(c, models, init_frozen) is init_frozen
+    # explicit smoke mode downgrades a configured-but-absent path to a
+    # warning (e.g. test.py --debug with the stock cfg, no artefacts on box)
+    c.TEXT.DAMSM_NAME = "/nonexistent/damsm.pth"
+    assert load_frozen_encoders(c, models, init_frozen) is init_frozen
 
 
 def test_train_checkpoint_resume(config, tmp_path_factory):

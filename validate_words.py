@@ -97,7 +97,7 @@ class PairDataset:
 
 def run_arm(words_coe: float, steps: int, batch: int, dtype: str,
             clip: float, damsm_steps: int, sim_coe: float, pallas: bool,
-            frozen_override=None):
+            frozen_override=None, seed: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -127,8 +127,9 @@ def run_arm(words_coe: float, steps: int, batch: int, dtype: str,
     mesh = make_mesh("data:-1")
     ds = PairDataset(c)
     models = build_models(c, n_words=ds.n_words)
-    state, frozen = create_train_state(c, models, jax.random.PRNGKey(0))
-    pipe = DataPipeline(ds, batch, seed=0, num_workers=0)
+    state, frozen = create_train_state(c, models,
+                                       jax.random.PRNGKey(1000 + seed))
+    pipe = DataPipeline(ds, batch, seed=seed, num_workers=0)
 
     pool = []
     for b in pipe.epoch(1):
@@ -141,7 +142,7 @@ def run_arm(words_coe: float, steps: int, batch: int, dtype: str,
         damsm_step, damsm_init = make_damsm_train_step(c, models, mesh)
         text_vars, image_vars = frozen.text_vars, frozen.image_vars
         opt_states = damsm_init(text_vars, image_vars)
-        rng = jax.random.PRNGKey(11)
+        rng = jax.random.PRNGKey(11 + seed)
         for done in range(1, damsm_steps + 1):
             rng, sub = jax.random.split(rng)
             text_vars, image_vars, opt_states, dm = damsm_step(
@@ -195,7 +196,7 @@ def run_arm(words_coe: float, steps: int, batch: int, dtype: str,
 
     # ---- phase 2: adversarial training with checkpoint-sweep probe -----
     step = make_train_step(c, models, mesh=mesh, donate=True)
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.PRNGKey(1 + 7919 * seed)
     probe_every = 250
     best, best_step, best_kind = -1, 0, "raw"
     for done in range(1, steps + 1):
@@ -217,7 +218,7 @@ def run_arm(words_coe: float, steps: int, batch: int, dtype: str,
         print(f"class {i} ({a},{b}): halves -> ({nl},{nr}) "
               f"{'OK' if ok else 'X'}")
     return {"best": best, "best_step": best_step, "final": final,
-            "k": k, "frozen": frozen}
+            "k": k, "seed": seed, "frozen": frozen}
 
 
 def main():
@@ -230,13 +231,16 @@ def main():
     p.add_argument("--sim_coe", type=float, default=1.0)
     p.add_argument("--pallas", type=int, default=0)
     p.add_argument("--arm", choices=["words", "off", "both"], default="both")
+    p.add_argument("--seed", type=int, default=0,
+                   help="seeds init, data order and train rng (VERDICT r3 "
+                        "#8: multi-seed replication)")
     a = p.parse_args()
 
     results = {}
     frozen = None
     if a.arm in ("words", "both"):
         r = run_arm(1.0, a.steps, a.batch, a.dtype, a.clip, a.damsm_steps,
-                    a.sim_coe, bool(a.pallas))
+                    a.sim_coe, bool(a.pallas), seed=a.seed)
         frozen = r.pop("frozen")
         results["words"] = r
         print(json.dumps({"metric": "words_conditioning_best",
@@ -244,19 +248,21 @@ def main():
                           "vs_baseline": r["final"] / r["k"],
                           "arm": "words", "pallas": bool(a.pallas), **{
                               kk: r[kk] for kk in ("best", "best_step",
-                                                   "final")}}))
+                                                   "final", "seed")}}))
     if a.arm in ("off", "both"):
         # Same pretrained encoders (when available) so the ONLY difference
         # between arms is the words-loss coefficient.
         r = run_arm(0.0, a.steps, a.batch, a.dtype, a.clip, a.damsm_steps,
-                    a.sim_coe, bool(a.pallas), frozen_override=frozen)
+                    a.sim_coe, bool(a.pallas), frozen_override=frozen,
+                    seed=a.seed)
         r.pop("frozen")
         results["off"] = r
         print(json.dumps({"metric": "words_conditioning_best",
                           "value": r["best"] / r["k"], "unit": "fraction",
                           "vs_baseline": r["final"] / r["k"],
                           "arm": "off", **{kk: r[kk] for kk in
-                                           ("best", "best_step", "final")}}))
+                                           ("best", "best_step", "final",
+                                            "seed")}}))
 
     if a.arm == "both":
         w, o = results["words"], results["off"]
