@@ -78,6 +78,10 @@ USE_UINT8 = os.environ.get("EEGAN_BENCH_UINT8", "0") == "1"
 # Space-to-depth lowering for the generator's narrow high-res convs
 # (RUNTIME.S2D_CONVS).
 USE_S2D = os.environ.get("EEGAN_BENCH_S2D", "0") == "1"
+# Fused up-path lowering (RUNTIME.FUSED_UPSAMPLE): pre-upsample BN stats +
+# shortcut, subpixel Cum up_conv3 (ops/upconv.py). Default ON, matching the
+# production config default (+3.5% at the flagship recipe, PERF.md §4c).
+USE_UPFUSE = os.environ.get("EEGAN_BENCH_UPFUSE", "1") == "1"
 SCAN_K = int(os.environ.get("EEGAN_BENCH_SCAN", "8"))
 WINDOWS = int(os.environ.get("EEGAN_BENCH_WINDOWS", "3"))
 ITERS = int(os.environ.get("EEGAN_BENCH_ITERS", "4"))
@@ -171,6 +175,7 @@ def main():
     config.RUNTIME.DENSE_D = DENSE_D
     config.RUNTIME.MAGP_CHUNKS = MAGP_CHUNKS
     config.RUNTIME.S2D_CONVS = USE_S2D
+    config.RUNTIME.FUSED_UPSAMPLE = USE_UPFUSE
 
     mesh = make_mesh(f"data:{n_dev}")
     models = build_models(config, n_words=5450)  # CUB vocab size
@@ -261,6 +266,7 @@ def main():
         "magp_chunks": MAGP_CHUNKS,
         "uint8": USE_UINT8,
         "s2d": USE_S2D,
+        "up_fused": USE_UPFUSE,
         "gf_dim": GF_DIM,
         "use_class": USE_CLASS,
         "batch_per_chip": BATCH_PER_CHIP,

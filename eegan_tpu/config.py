@@ -170,6 +170,15 @@ class RuntimeConfig:
     # identical math, full MXU output lanes at 16/9 the FLOPs — a net win
     # at small per-chip batch where those convs run quarter-dense.
     S2D_CONVS: bool = False
+    # Fused up-path lowering (ops/upconv.py + generator.py): exact-math
+    # rewrites around the generator's nearest-2x upsamples — pre-upsample
+    # BN stats/normalise and 1x1 shortcut in the SAGB blocks, subpixel
+    # (low-resolution, 4x-output-channel) up_conv3 in the Cum blocks. Same
+    # results to float rounding, fewer HBM round-trips of the 4x tensors
+    # and full MXU lanes on the ladder's narrow convs. Default ON (round 4:
+    # +3.5% step throughput at the flagship recipe, chip-gated by
+    # validate_upfuse_chip.py; turn off to reproduce the plain lowering).
+    FUSED_UPSAMPLE: bool = True
     # Ship image pyramids host->device as uint8 [0, 255] (4x smaller
     # transfer) and normalise to [-1, 1] on device inside the jitted step.
     # Matches the reference MORE closely than the float path (torchvision

@@ -50,7 +50,8 @@ def build_models(config: Config, n_words: int) -> ModelBundle:
     return ModelBundle(
         generator=Generator(ngf=config.GAN.GF_DIM, nz=config.GAN.Z_DIM,
                             dtype=dt, remat=config.RUNTIME.REMAT,
-                            s2d=config.RUNTIME.S2D_CONVS),
+                            s2d=config.RUNTIME.S2D_CONVS,
+                            up_fused=config.RUNTIME.FUSED_UPSAMPLE),
         attr_enhance=AttrEnhance(ntf=config.TEXT.EMBEDDING_DIM, dtype=dt),
         discriminators=tuple(discs),
         text_encoder=TextEncoder(

@@ -33,6 +33,7 @@ from eegan_tpu.models.layers import (
     resize_bilinear_align_corners,
     upsample_nearest_2x,
 )
+from eegan_tpu.ops.upconv import Conv3x3UpFused
 
 Dtype = Any
 
@@ -48,11 +49,24 @@ class AffineSSA(nn.Module):
     features: int
     hidden: int = 256
     dtype: Dtype = jnp.float32
+    # Fused up-path (RUNTIME.FUSED_UPSAMPLE): ``feat`` arrives at the
+    # PRE-upsample resolution; BN stats and the per-channel normalise are
+    # computed there (nearest-2x replication leaves mean/var bit-identical,
+    # and ``n_override`` keeps the unbiased running-var factor at the
+    # reference's 4x element count), then the normalised map is upsampled
+    # for the spatially-varying mask affine. Exact math, 4x less data
+    # through the BN reductions.
+    up: bool = False
 
     @nn.compact
     def __call__(self, feat, cond, mask, train: bool = True):
-        feat = batch_norm(train, affine=False, name="norm2d")(feat)
+        n_override = 4 * feat.shape[0] * feat.shape[1] * feat.shape[2] \
+            if self.up else None
+        feat = batch_norm(train, affine=False, name="norm2d",
+                          n_override=n_override)(feat)
         feat = feat.astype(self.dtype)
+        if self.up:
+            feat = upsample_nearest_2x(feat)
 
         def mlp(name):
             h = dense(self.hidden, dtype=self.dtype, name=f"{name}_linear1")(cond)
@@ -90,16 +104,26 @@ class SAGBBlock(nn.Module):
     dtype: Dtype = jnp.float32
     up: bool = False  # nearest-2x upsample the input inside the block
     s2d: bool = False  # space-to-depth conv lowering (RUNTIME.S2D_CONVS)
+    # Fused up-path (RUNTIME.FUSED_UPSAMPLE): BN stats/normalise and the
+    # 1x1 shortcut run at the PRE-upsample resolution (both commute exactly
+    # with nearest-2x replication); only the mask affine, relus and 3x3
+    # convs touch the 4x tensor. Identical math, no standalone upsampled
+    # copy of the input in HBM.
+    up_fused: bool = False
 
     @nn.compact
     def __call__(self, feat, cond1, cond2, mask_logits, train: bool = True):
-        if self.up:
-            feat = upsample_nearest_2x(feat)
-        m = resize_bilinear_align_corners(mask_logits, feat.shape[1:3])
-        mask = nn.sigmoid(m)
+        fused = self.up and self.up_fused
         in_ch = feat.shape[-1]
+        if self.up and not fused:
+            feat = upsample_nearest_2x(feat)
+        hi_hw = ((feat.shape[1] * 2, feat.shape[2] * 2) if fused
+                 else feat.shape[1:3])
+        m = resize_bilinear_align_corners(mask_logits, hi_hw)
+        mask = nn.sigmoid(m)
 
-        h = AffineSSA(in_ch, dtype=self.dtype, name="affine1")(feat, cond1, mask, train)
+        h = AffineSSA(in_ch, dtype=self.dtype, up=fused,
+                      name="affine1")(feat, cond1, mask, train)
         h = nn.relu(h)
         h = conv3x3(self.out_ch, dtype=self.dtype, name="c1", s2d=self.s2d)(h)
         h = AffineSSA(self.out_ch, dtype=self.dtype, name="affine2")(h, cond2, mask, train)
@@ -108,7 +132,11 @@ class SAGBBlock(nn.Module):
 
         sc = feat
         if in_ch != self.out_ch:
+            # conv1x1 is per-pixel: computing it pre-upsample is exact and
+            # 4x cheaper at the ladder's lane-starved widths.
             sc = conv1x1(self.out_ch, use_bias=True, dtype=self.dtype, name="c_sc")(sc)
+        if fused:
+            sc = upsample_nearest_2x(sc.astype(self.dtype))
 
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         out = sc + gamma.astype(self.dtype) * h
@@ -125,13 +153,22 @@ class CumBlock(nn.Module):
     cur_ch: int
     dtype: Dtype = jnp.float32
     s2d: bool = False  # space-to-depth conv lowering (RUNTIME.S2D_CONVS)
+    # Fused up-path (RUNTIME.FUSED_UPSAMPLE): up_conv3 directly follows the
+    # nearest-2x upsample, so it lowers EXACTLY to a low-res conv with the
+    # parity-packed kernel + depth_to_space (ops/upconv.py) — same FLOPs,
+    # 4*cur_ch output lanes, no 4x intermediate. Param tree unchanged.
+    up_fused: bool = False
 
     @nn.compact
     def __call__(self, prev_feat, cur_feat):
         h = conv1x1(self.cur_ch, dtype=self.dtype, name="up_conv1")(prev_feat)
-        h = upsample_nearest_2x(h)
-        h = conv3x3(self.cur_ch, dtype=self.dtype, name="up_conv3",
-                    s2d=self.s2d)(h)
+        if self.up_fused:
+            h = Conv3x3UpFused(self.cur_ch, dtype=self.dtype,
+                               name="up_conv3")(h)
+        else:
+            h = upsample_nearest_2x(h)
+            h = conv3x3(self.cur_ch, dtype=self.dtype, name="up_conv3",
+                        s2d=self.s2d)(h)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         fused = h + cur_feat * gamma.astype(self.dtype)
         return conv3x3(self.cur_ch, dtype=self.dtype, name="fuse",
@@ -156,6 +193,11 @@ class Generator(nn.Module):
     # (RUNTIME.S2D_CONVS): identical math, full MXU lanes — see
     # eegan_tpu/ops/s2d_conv.py. Applied only where Cout is lane-starved.
     s2d: bool = False
+    # Fused up-path (RUNTIME.FUSED_UPSAMPLE): exact-math rewrites that keep
+    # the nearest-2x upsample out of HBM — pre-upsample BN stats/shortcut in
+    # the SAGB blocks, subpixel (low-res, 4x-channel) up_conv3 in the Cum
+    # blocks. See ops/upconv.py.
+    up_fused: bool = False
 
     @nn.compact
     def __call__(self, z, sent, attrs, train: bool = True
@@ -195,7 +237,7 @@ class Generator(nn.Module):
         for ix in range(3):
             out, stage_mask = Block(
                 chans[ix + 1], True, dtype=self.dtype, up=True,
-                s2d=s2d(chans[ix + 1]),
+                s2d=s2d(chans[ix + 1]), up_fused=self.up_fused,
                 name=f"block{ix + 1}")(out, sent, sent, stage_mask, train)
 
         x_32 = out
@@ -205,17 +247,20 @@ class Generator(nn.Module):
             pred = scale != 256
             out, new_mask = Block(
                 chans[ix + 4], pred, dtype=self.dtype, up=True,
-                s2d=s2d(chans[ix + 4]),
+                s2d=s2d(chans[ix + 4]), up_fused=self.up_fused,
                 name=f"block{ix + 4}")(out, sent, attrs, stage_mask, train)
             if pred:
                 stage_mask = new_mask
             feats[scale] = out
 
         cum_64 = Cum(ngf * 4, dtype=self.dtype, s2d=s2d(ngf * 4),
+                     up_fused=self.up_fused,
                      name="cum_64")(x_32, feats[64])
         cum_128 = Cum(ngf * 2, dtype=self.dtype, s2d=s2d(ngf * 2),
+                      up_fused=self.up_fused,
                       name="cum_128")(cum_64, feats[128])
         cum_256 = Cum(ngf * 1, dtype=self.dtype, s2d=s2d(ngf * 1),
+                      up_fused=self.up_fused,
                       name="cum_256")(cum_128, feats[256])
 
         img_64 = ToImage(dtype=self.dtype, name="get_image_64")(cum_64, train)

@@ -98,6 +98,11 @@ class TorchBatchNorm(nn.Module):
     epsilon: float = 1e-5
     use_scale: bool = True
     use_bias: bool = True
+    # Element count for the unbiased running-var correction, when the stats
+    # are computed on a tensor that stands in for a larger one (the fused
+    # up-path normalises PRE-upsample: same mean/var exactly, but the
+    # reference's n is the 4x post-upsample count — see AffineSSA(up=True)).
+    n_override: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
@@ -118,9 +123,11 @@ class TorchBatchNorm(nn.Module):
             mean2 = jnp.mean(jnp.square(xf), axis=reduction_axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
-                n = 1
-                for a in reduction_axes:
-                    n *= x.shape[a]
+                n = self.n_override
+                if n is None:
+                    n = 1
+                    for a in reduction_axes:
+                        n *= x.shape[a]
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
@@ -140,7 +147,8 @@ class TorchBatchNorm(nn.Module):
 
 
 def batch_norm(train: bool, affine: bool = True, name: Optional[str] = None,
-               epsilon: float = 1e-5) -> TorchBatchNorm:
+               epsilon: float = 1e-5,
+               n_override: Optional[int] = None) -> TorchBatchNorm:
     """Cross-replica batch norm (stats over the global batch under jit)."""
     return TorchBatchNorm(
         use_running_average=not train,
@@ -148,6 +156,7 @@ def batch_norm(train: bool, affine: bool = True, name: Optional[str] = None,
         epsilon=epsilon,
         use_scale=affine,
         use_bias=affine,
+        n_override=n_override,
         name=name,
     )
 

@@ -161,6 +161,13 @@ def main():
 
     # ---- models + checkpoints ---------------------------------------
     models = build_models(config, n_words)
+    if not args.model_dir:
+        # No generator checkpoint: this is a smoke run by construction
+        # (random G), so don't hard-require the DAMSM encoders either —
+        # mirrors test.py --debug. With --model_dir the production rule
+        # holds: sampling needs the real text encoder to embed captions
+        # (reference sample.py loads it unconditionally).
+        config.RUNTIME.ALLOW_RANDOM_ENCODERS = True
     state, init_frozen = create_train_state(config, models,
                                             jax.random.PRNGKey(args.manualSeed))
     frozen = load_frozen_encoders(config, models, init_frozen)

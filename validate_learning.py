@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import numpy as np
 
@@ -145,6 +146,9 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
     # params — the snapshot catches G mid-orbit); the EMA averages the orbit.
     c.TRAIN.G_EMA_DECAY = ema
     c.RUNTIME.COMPUTE_DTYPE = dtype
+    # Learning-dynamics gate for the fused up-path lowering
+    # (RUNTIME.FUSED_UPSAMPLE) on the real backend.
+    c.RUNTIME.FUSED_UPSAMPLE = os.environ.get("EEGAN_PROBE_UPFUSE", "0") == "1"
 
     mesh = make_mesh("data:-1")
     ds = ColorDataset(c)
