@@ -66,6 +66,12 @@ def load_frozen_encoders(config: Config, models: ModelBundle,
     if name and os.path.isdir(name):
         import orbax.checkpoint as ocp
 
+        # Accept either the converted-encoder directory itself or its
+        # parent Model dir (CheckpointManager.save_frozen writes to
+        # <model_dir>/frozen_encoders).
+        sub = os.path.join(name, "frozen_encoders")
+        if os.path.isdir(sub):
+            name = sub
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(os.path.abspath(name), target={
             "text_vars": init_frozen.text_vars,

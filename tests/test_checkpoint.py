@@ -126,3 +126,21 @@ def test_frozen_roundtrip(tiny_state, tmp_path):
     _tree_equal(frozen.text_vars, restored.text_vars)
     _tree_equal(frozen.image_vars, restored.image_vars)
     mgr.close()
+
+
+def test_frozen_loads_from_parent_model_dir(tiny_state, tmp_path):
+    """TEXT.DAMSM_NAME may point at the Model dir itself: save_frozen
+    writes <model_dir>/frozen_encoders, and load_frozen_encoders must
+    resolve that subdir (the validate_rprecision sweep drives test.py
+    with --model_dir semantics, mirroring reference NET_E usage)."""
+    from eegan_tpu.training.trainer import load_frozen_encoders
+
+    c, _, frozen = tiny_state
+    models = build_models(c, n_words=30)
+    mgr = CheckpointManager(str(tmp_path / "Model"))
+    mgr.save_frozen(frozen)
+    mgr.close()
+    c.TEXT.DAMSM_NAME = str(tmp_path / "Model")
+    restored = load_frozen_encoders(c, models, frozen)
+    _tree_equal(frozen.text_vars, restored.text_vars)
+    _tree_equal(frozen.image_vars, restored.image_vars)
