@@ -77,10 +77,13 @@ def _torch_key(path, collection: str) -> Optional[str]:
 
 def convert_by_template(template: Any, sd: Dict[str, np.ndarray],
                         collection: str, rename=None,
-                        strict: bool = True) -> Any:
+                        strict: bool = True, consumed=None) -> Any:
     """Fill a flax variable tree from a torch state dict.
 
     ``rename(torch_key) -> torch_key`` adapts naming differences.
+    ``consumed`` (a set, optional) collects every torch key actually read —
+    callers use it to assert a real checkpoint would be fully consumed
+    (no silently-dropped weights; VERDICT r4 #4).
     """
     import jax
 
@@ -93,6 +96,8 @@ def convert_by_template(template: Any, sd: Dict[str, np.ndarray],
         tk = _torch_key(names, collection)
         if rename is not None:
             tk = rename(tk, names)
+        if tk in sd and consumed is not None:
+            consumed.add(tk)
         if tk not in sd:
             if strict:
                 raise KeyError(f"torch key {tk!r} (for flax {names}) missing; "
@@ -116,18 +121,32 @@ def convert_by_template(template: Any, sd: Dict[str, np.ndarray],
 # Text encoder (reference RNN_ENCODER state dict)
 # ---------------------------------------------------------------------------
 
-def convert_text_encoder(sd: Dict[str, np.ndarray], template_vars) -> Any:
+def convert_text_encoder(sd: Dict[str, np.ndarray], template_vars,
+                         consumed=None) -> Any:
     """RNN_ENCODER .pth -> our TextEncoder variables.
 
     Torch keys: encoder.weight, rnn.{weight,bias}_{ih,hh}_l0[_reverse].
     """
+
+    def take(key: str, want_shape) -> np.ndarray:
+        w = np.asarray(sd[key], np.float32)
+        if tuple(w.shape) != tuple(want_shape):
+            raise ValueError(f"shape mismatch for {key}: torch {w.shape} "
+                             f"vs template {tuple(want_shape)}")
+        if consumed is not None:
+            consumed.add(key)
+        return w
+
     params = dict(template_vars["params"])
-    params["embedding"] = np.asarray(sd["encoder.weight"], np.float32)
+    params["embedding"] = take("encoder.weight",
+                               np.shape(params["embedding"]))
     fwd, bwd = {}, {}
+    tf, tb = template_vars["params"]["rnn_fwd"], template_vars["params"]["rnn_bwd"]
     for g in ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0"):
         ours = g.replace("weight_", "w_").replace("bias_", "b_")
-        fwd[ours] = np.asarray(sd[f"rnn.{g}"], np.float32)
-        bwd[ours + "_reverse"] = np.asarray(sd[f"rnn.{g}_reverse"], np.float32)
+        fwd[ours] = take(f"rnn.{g}", np.shape(tf[ours]))
+        bwd[ours + "_reverse"] = take(f"rnn.{g}_reverse",
+                                      np.shape(tb[ours + "_reverse"]))
     params["rnn_fwd"] = fwd
     params["rnn_bwd"] = bwd
     return {"params": params}
@@ -137,7 +156,8 @@ def convert_text_encoder(sd: Dict[str, np.ndarray], template_vars) -> Any:
 # Image encoder (reference CNN_ENCODER state dict on torchvision inception)
 # ---------------------------------------------------------------------------
 
-def convert_image_encoder(sd: Dict[str, np.ndarray], template_vars) -> Any:
+def convert_image_encoder(sd: Dict[str, np.ndarray], template_vars,
+                          consumed=None) -> Any:
     """CNN_ENCODER .pth -> our ImageEncoder variables."""
 
     def rename(tk: str, names) -> str:
@@ -146,9 +166,11 @@ def convert_image_encoder(sd: Dict[str, np.ndarray], template_vars) -> Any:
 
     out = {}
     out["params"] = convert_by_template(
-        template_vars["params"], sd, "params", rename=rename)
+        template_vars["params"], sd, "params", rename=rename,
+        consumed=consumed)
     out["batch_stats"] = convert_by_template(
-        template_vars["batch_stats"], sd, "batch_stats", rename=rename)
+        template_vars["batch_stats"], sd, "batch_stats", rename=rename,
+        consumed=consumed)
     return out
 
 
