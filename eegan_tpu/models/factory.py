@@ -26,6 +26,12 @@ def compute_dtype(config: Config):
     return _DTYPES[config.RUNTIME.COMPUTE_DTYPE]
 
 
+def _jax_backend() -> str:
+    import jax
+
+    return jax.default_backend()
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelBundle:
     generator: Generator
@@ -45,13 +51,16 @@ def build_models(config: Config, n_words: int) -> ModelBundle:
         discs.append(Discriminator(
             ndf=config.GAN.DF_DIM, scale=s, disc_class=use_class,
             class_nums=config.TRAIN.CLASS_NUM, dtype=dt,
-            remat=config.RUNTIME.REMAT,
+            remat=config.RUNTIME.REMAT and config.RUNTIME.REMAT_D,
             s2d=config.RUNTIME.S2D_CONVS))
     return ModelBundle(
         generator=Generator(ngf=config.GAN.GF_DIM, nz=config.GAN.Z_DIM,
                             dtype=dt, remat=config.RUNTIME.REMAT,
                             s2d=config.RUNTIME.S2D_CONVS,
-                            up_fused=config.RUNTIME.FUSED_UPSAMPLE),
+                            up_fused=config.RUNTIME.FUSED_UPSAMPLE,
+                            remat_blocks=config.RUNTIME.REMAT_BLOCKS,
+                            pallas_affine=(config.RUNTIME.PALLAS_AFFINE
+                                           and _jax_backend() == "tpu")),
         attr_enhance=AttrEnhance(ntf=config.TEXT.EMBEDDING_DIM, dtype=dt),
         discriminators=tuple(discs),
         text_encoder=TextEncoder(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, List
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -57,22 +58,47 @@ class AffineSSA(nn.Module):
     # for the spatially-varying mask affine. Exact math, 4x less data
     # through the BN reductions.
     up: bool = False
+    # RUNTIME.PALLAS_AFFINE: run normalise + (upsample) + modulate + ReLU as
+    # ONE fused Pallas pass (ops/affine_pallas.py). The BN stats/running
+    # stats remain in XLA through the same `norm2d` module (identical
+    # variable tree); the caller must then NOT apply its own ReLU — the
+    # kernel output is already rectified (`fuses_relu`).
+    pallas: bool = False
+
+    @property
+    def fuses_relu(self) -> bool:
+        return self.pallas
 
     @nn.compact
     def __call__(self, feat, cond, mask, train: bool = True):
         n_override = 4 * feat.shape[0] * feat.shape[1] * feat.shape[2] \
             if self.up else None
-        feat = batch_norm(train, affine=False, name="norm2d",
-                          n_override=n_override)(feat)
-        feat = feat.astype(self.dtype)
-        if self.up:
-            feat = upsample_nearest_2x(feat)
 
         def mlp(name):
             h = dense(self.hidden, dtype=self.dtype, name=f"{name}_linear1")(cond)
             h = nn.relu(h)
             return dense(self.features, dtype=self.dtype, zero_init=True,
                          name=f"{name}_linear2")(h)
+
+        if self.pallas:
+            from eegan_tpu.ops.affine_pallas import affine_mask_relu
+
+            mean, var = batch_norm(train, affine=False, name="norm2d",
+                                   n_override=n_override,
+                                   return_stats=True)(feat)
+            # Interpret mode keeps the op runnable on CPU meshes (tests,
+            # dryrun); Mosaic compiles it on the TPU backend.
+            interpret = jax.default_backend() != "tpu"
+            return affine_mask_relu(
+                feat, mean, var, mlp("fc_gamma"), mlp("fc_beta"),
+                mask.astype(self.dtype), self.up, 1e-5, self.dtype,
+                interpret)
+
+        feat = batch_norm(train, affine=False, name="norm2d",
+                          n_override=n_override)(feat)
+        feat = feat.astype(self.dtype)
+        if self.up:
+            feat = upsample_nearest_2x(feat)
 
         gamma = mlp("fc_gamma")[:, None, None, :]  # (B,1,1,C)
         beta = mlp("fc_beta")[:, None, None, :]
@@ -110,6 +136,9 @@ class SAGBBlock(nn.Module):
     # convs touch the 4x tensor. Identical math, no standalone upsampled
     # copy of the input in HBM.
     up_fused: bool = False
+    # RUNTIME.PALLAS_AFFINE: fused affine+mask+ReLU Pallas kernel in both
+    # affine layers (the kernel output is already rectified).
+    pallas_affine: bool = False
 
     @nn.compact
     def __call__(self, feat, cond1, cond2, mask_logits, train: bool = True):
@@ -122,12 +151,17 @@ class SAGBBlock(nn.Module):
         m = resize_bilinear_align_corners(mask_logits, hi_hw)
         mask = nn.sigmoid(m)
 
-        h = AffineSSA(in_ch, dtype=self.dtype, up=fused,
-                      name="affine1")(feat, cond1, mask, train)
-        h = nn.relu(h)
+        affine1 = AffineSSA(in_ch, dtype=self.dtype, up=fused,
+                            pallas=self.pallas_affine, name="affine1")
+        h = affine1(feat, cond1, mask, train)
+        if not affine1.fuses_relu:
+            h = nn.relu(h)
         h = conv3x3(self.out_ch, dtype=self.dtype, name="c1", s2d=self.s2d)(h)
-        h = AffineSSA(self.out_ch, dtype=self.dtype, name="affine2")(h, cond2, mask, train)
-        h = nn.relu(h)
+        affine2 = AffineSSA(self.out_ch, dtype=self.dtype,
+                            pallas=self.pallas_affine, name="affine2")
+        h = affine2(h, cond2, mask, train)
+        if not affine2.fuses_relu:
+            h = nn.relu(h)
         h = conv3x3(self.out_ch, dtype=self.dtype, name="c2", s2d=self.s2d)(h)
 
         sc = feat
@@ -198,6 +232,19 @@ class Generator(nn.Module):
     # the SAGB blocks, subpixel (low-res, 4x-channel) up_conv3 in the Cum
     # blocks. See ops/upconv.py.
     up_fused: bool = False
+    # RUNTIME.PALLAS_AFFINE: fused affine+mask+ReLU kernel in the SAGB
+    # blocks (ops/affine_pallas.py).
+    pallas_affine: bool = False
+    # RUNTIME.REMAT_BLOCKS: with remat on, checkpoint only these SAGB block
+    # indices / "cum" (comma list); "" = all (see config.py).
+    remat_blocks: str = ""
+
+    def _remat_wanted(self, key) -> bool:
+        if not self.remat:
+            return False
+        if not self.remat_blocks:
+            return True
+        return str(key) in {t.strip() for t in self.remat_blocks.split(",")}
 
     @nn.compact
     def __call__(self, z, sent, attrs, train: bool = True
@@ -206,9 +253,13 @@ class Generator(nn.Module):
         b = z.shape[0]
         # static_argnums counts the bound method's args with self at 0, so
         # `train` (a python bool) is arg 5 of (self, feat, c1, c2, mask, train).
-        Block = (nn.remat(SAGBBlock, static_argnums=(5,)) if self.remat
-                 else SAGBBlock)
-        Cum = nn.remat(CumBlock) if self.remat else CumBlock
+        RematBlock = nn.remat(SAGBBlock, static_argnums=(5,))
+
+        def Block(*args, block_ix: int, **kw):
+            cls = RematBlock if self._remat_wanted(block_ix) else SAGBBlock
+            return cls(*args, **kw)
+
+        Cum = nn.remat(CumBlock) if self._remat_wanted("cum") else CumBlock
         sent = sent.astype(self.dtype)
         attrs = attrs.astype(self.dtype)
 
@@ -230,7 +281,9 @@ class Generator(nn.Module):
             return self.s2d and ch < 128
 
         out, stage_mask = Block(chans[0], True, dtype=self.dtype,
-                                s2d=s2d(chans[0]), name="block0")(
+                                s2d=s2d(chans[0]),
+                                pallas_affine=self.pallas_affine,
+                                block_ix=0, name="block0")(
             out, sent, sent, stage_mask, train)
 
         # Explore stage: blocks 1-3 at 8/16/32, conditioned on [sent, sent].
@@ -238,7 +291,8 @@ class Generator(nn.Module):
             out, stage_mask = Block(
                 chans[ix + 1], True, dtype=self.dtype, up=True,
                 s2d=s2d(chans[ix + 1]), up_fused=self.up_fused,
-                name=f"block{ix + 1}")(out, sent, sent, stage_mask, train)
+                pallas_affine=self.pallas_affine,
+                block_ix=ix + 1, name=f"block{ix + 1}")(out, sent, sent, stage_mask, train)
 
         x_32 = out
         # Exploit stage: blocks 4-6 at 64/128/256, conditioned on [sent, attrs].
@@ -248,7 +302,8 @@ class Generator(nn.Module):
             out, new_mask = Block(
                 chans[ix + 4], pred, dtype=self.dtype, up=True,
                 s2d=s2d(chans[ix + 4]), up_fused=self.up_fused,
-                name=f"block{ix + 4}")(out, sent, attrs, stage_mask, train)
+                pallas_affine=self.pallas_affine,
+                block_ix=ix + 4, name=f"block{ix + 4}")(out, sent, attrs, stage_mask, train)
             if pred:
                 stage_mask = new_mask
             feats[scale] = out

@@ -103,6 +103,11 @@ class TorchBatchNorm(nn.Module):
     # up-path normalises PRE-upsample: same mean/var exactly, but the
     # reference's n is the 4x post-upsample count — see AffineSSA(up=True)).
     n_override: Optional[int] = None
+    # Return (mean, var) instead of the normalised tensor (running stats
+    # still updated): the stats half of BN for callers that fuse the
+    # normalise into a Pallas kernel (ops/affine_pallas.py). Variable tree
+    # identical either way.
+    return_stats: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -134,6 +139,9 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1.0 - self.momentum) * unbiased)
 
+        if self.return_stats:
+            return mean, var
+
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.use_scale:
             scale = self.param("scale", nn.initializers.ones_init(),
@@ -148,7 +156,8 @@ class TorchBatchNorm(nn.Module):
 
 def batch_norm(train: bool, affine: bool = True, name: Optional[str] = None,
                epsilon: float = 1e-5,
-               n_override: Optional[int] = None) -> TorchBatchNorm:
+               n_override: Optional[int] = None,
+               return_stats: bool = False) -> TorchBatchNorm:
     """Cross-replica batch norm (stats over the global batch under jit)."""
     return TorchBatchNorm(
         use_running_average=not train,
@@ -157,6 +166,7 @@ def batch_norm(train: bool, affine: bool = True, name: Optional[str] = None,
         use_scale=affine,
         use_bias=affine,
         n_override=n_override,
+        return_stats=return_stats,
         name=name,
     )
 

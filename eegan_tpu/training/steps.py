@@ -241,6 +241,12 @@ def build_train_step_fn(config: Config, models: ModelBundle,
     def train_step(state: TrainState, frozen: FrozenEncoders, batch: Batch,
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         batch = normalize_image_leaves(batch)
+        if config.RUNTIME.BF16_IMAGES:
+            # "bf16-first-block D": the D phases consume bf16 pyramids, so
+            # the fp32->bf16 boundary sits at the image tensors instead of
+            # inside conv_img (one extra bf16 rounding of the images).
+            batch = {k: (v.astype(jnp.bfloat16) if k.startswith("img") else v)
+                     for k, v in batch.items()}
         if "text" in ablate:
             b_, t_ = batch["caps"].shape
             d_ = config.TEXT.EMBEDDING_DIM
@@ -274,6 +280,8 @@ def build_train_step_fn(config: Config, models: ModelBundle,
         ((fake_imgs, merged), gen_vjp, new_g_stats) = jax.vjp(
             gen_fn, (state.g_params, state.attr_params), has_aux=True)
         fake_sg = [jax.lax.stop_gradient(im) for im in fake_imgs]
+        if config.RUNTIME.BF16_IMAGES:
+            fake_sg = [im.astype(jnp.bfloat16) for im in fake_sg]
 
         metrics: Dict[str, jnp.ndarray] = {}
         new_d_params, new_d_opts = [], []

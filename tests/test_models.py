@@ -267,3 +267,31 @@ def test_image_encoder_remat_identity():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_generator_selective_remat_identity(gen_vars):
+    """RUNTIME.REMAT_BLOCKS (selective remat) is also the identity — only
+    the chosen high-res blocks are checkpointed."""
+    model, variables = gen_vars
+    sel_model = Generator(ngf=NGF, nz=100, remat=True,
+                          remat_blocks="4,5,6,cum")
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 100))
+    sent = jax.random.normal(jax.random.PRNGKey(2), (2, 256))
+    attrs = jax.random.normal(jax.random.PRNGKey(3), (2, 256))
+
+    v2 = sel_model.init(jax.random.PRNGKey(0), z, sent, attrs, train=True)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
+        variables)
+
+    def loss(m, v):
+        imgs, _ = m.apply(v, z, sent, attrs, train=True,
+                          mutable=["batch_stats"])
+        return sum(jnp.sum(im ** 2) for im in imgs)
+
+    l0, g0 = jax.value_and_grad(lambda v: loss(model, v))(variables)
+    l1, g1 = jax.value_and_grad(lambda v: loss(sel_model, v))(variables)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
