@@ -99,10 +99,16 @@ def _bwd_kernel(x_ref, mean_ref, var_ref, gamma_ref, beta_ref, mask_ref,
 
     dgamma = jnp.sum(g * xhat * m, axis=(0, 1))[None, None]  # (1, 1, C)
     dbeta = jnp.sum(g * m, axis=(0, 1))[None, None]
-    sum_gw = jnp.sum(gw_ds, axis=(0, 1))[None]
+    # Reduce at the HI resolution: sum(gw_ds) == sum(gw) and
+    # sum(gw_ds*(x-mean)) == sum(gw*up2(x-mean)) == sum(gw*xhat)/r (up2 is
+    # replication; the per-channel r commutes with it), so dvar =
+    # -0.5*r^2*sum(gw*xhat). Same math — and Mosaic rejects multi-dim
+    # reductions OVER the down-summed value with an invalid-relayout error
+    # ('non-singleton logical dimension replicated in destination'), while
+    # its elementwise use in dx is fine.
+    sum_gw = jnp.sum(gw, axis=(0, 1))[None]
     dmean = -r * sum_gw
-    dvar = (-0.5) * r * r * r * jnp.sum(
-        gw_ds * (x - mean[None]), axis=(0, 1))[None]
+    dvar = (-0.5) * r * r * jnp.sum(gw * xhat, axis=(0, 1))[None]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
