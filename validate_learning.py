@@ -146,9 +146,12 @@ def main(steps: int = 3000, batch: int = 32, dtype: str = "float32",
     # params — the snapshot catches G mid-orbit); the EMA averages the orbit.
     c.TRAIN.G_EMA_DECAY = ema
     c.RUNTIME.COMPUTE_DTYPE = dtype
-    # Learning-dynamics gate for the fused up-path lowering
-    # (RUNTIME.FUSED_UPSAMPLE) on the real backend.
+    # Learning-dynamics gates for the fused lowerings on the real backend:
+    # the up-path rewrite (RUNTIME.FUSED_UPSAMPLE) and the fused Pallas
+    # affine chain (RUNTIME.PALLAS_AFFINE) — the probe shows their TRAINING
+    # gradients condition, not just grad parity.
     c.RUNTIME.FUSED_UPSAMPLE = os.environ.get("EEGAN_PROBE_UPFUSE", "0") == "1"
+    c.RUNTIME.PALLAS_AFFINE = os.environ.get("EEGAN_PROBE_PAFFINE", "0") == "1"
 
     mesh = make_mesh("data:-1")
     ds = ColorDataset(c)
