@@ -22,11 +22,19 @@ Chain (every stage is the production code path, not a harness shortcut):
      the reference's own checkpoint-sweep protocol (`test.py:184-242`,
      R-precision per `test.py:306-357`).
 
-Pass: best trained R-precision >= 0.30 AND >= 10x the epoch-0 (random)
-score. With 8 classes the 99 wrong captions are all other-color captions
+Pass: best trained R-precision >= 0.30, random-init within noise of
+chance, and (trained - random) >= 10 sigma. The chance model matters:
+with 8 classes the 99 wrong captions are all other-color captions
 (`TextOnlyDataset.wrong_captions` excludes the true class, mirroring
-reference `get_sent_multi_unpair`, datasets.py:509-529), so a conditioned
-G should rank the true color near 1.0 while random weights sit at ~1/R.
+reference `get_sent_multi_unpair`, datasets.py:509-529) — they collapse
+to only SEVEN distinct sentence embeddings, so a random image code ranks
+the true caption first with p = 1/8 = 0.125, NOT the 1/R ~= 0.01 of the
+real 200-class CUB sweep (the recorded 30k-sweep random row, 0.0103).
+The first on-chip run measured random init at 0.1249 — exactly the
+8-class chance line, which is itself evidence the sweep math is right.
+Measured discrimination (chip, seed 0, 3k steps, sampling_nums 256):
+0.1249 (epoch 0) -> 0.50 -> 0.625 -> 0.7495 (epoch 3) = chance + 30
+sigma, monotone per epoch.
 
 Usage: validate_rprecision.py [gan_steps] [--batch 32] [--seed 0]
        [--dir DIR] [--sampling_nums 256] [--no_check]
@@ -222,14 +230,22 @@ def main(steps: int = 3000, batch: int = 32, seed: int = 0,
     random_r = scores[0]
     trained_best = max(scores[e] for e in epochs if e > 0)
     best_epoch = max((e for e in epochs if e > 0), key=lambda e: scores[e])
+    # Chance model (docstring): the wrong-caption pool spans only the
+    # other len(COLORS)-1 classes, so random init sits at 1/len(COLORS),
+    # not 1/R. Gate on separation in sigma units of that chance line.
+    chance = 1.0 / len(COLORS)
+    sigma = (chance * (1 - chance) / max(sampling_nums, 1)) ** 0.5
     result = {"metric": "r_precision_discrimination",
               "value": trained_best, "unit": "fraction@R100",
               "vs_baseline": trained_best / max(random_r, 1e-4),
               "random_init": random_r, "per_epoch": scores,
               "best_epoch": best_epoch, "gan_steps": steps,
               "sampling_nums": sampling_nums, "seed": seed,
+              "chance": chance, "sigma": sigma,
+              "separation_sigma": (trained_best - random_r) / sigma,
               "passed": trained_best >= 0.30
-              and trained_best >= 10 * max(random_r, 0.01)}
+              and random_r <= chance + 5 * sigma
+              and (trained_best - random_r) >= 10 * sigma}
     print(json.dumps(result))
     if check:
         assert result["passed"], \
