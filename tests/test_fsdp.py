@@ -63,6 +63,7 @@ def test_has_fsdp_axis():
     assert has_fsdp_axis(make_mesh("data:4,fsdp:2"))
 
 
+@pytest.mark.slow
 def test_fsdp_step_matches_replicated():
     c = tiny_config()
     models = build_models(c, n_words=N_WORDS)

@@ -151,6 +151,7 @@ def test_discriminator_s2d_matches_plain():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_train_step_s2d_matches_on_mesh():
     """Full fused train step, 8-device mesh, S2D_CONVS on vs off: the
     lowering must leave every loss metric unchanged (summation order only)

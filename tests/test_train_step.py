@@ -80,6 +80,7 @@ def test_train_step_runs_and_updates(setup):
     assert np.isfinite(float(m2["errG/total"]))
 
 
+@pytest.mark.slow
 def test_train_step_uint8_batch_matches_float(setup):
     """RUNTIME.UINT8_TRANSFER end-to-end: a uint8 image batch produces the
     same step as the float batch holding the identical quantised values
@@ -158,6 +159,7 @@ def test_g_ema_tracks_params():
             rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_multi_step_matches_sequential(setup):
     """K scanned steps per dispatch == K sequential dispatches, numerically."""
     from eegan_tpu.training.steps import make_multi_train_step
@@ -232,6 +234,7 @@ def test_dense_d_off_matches_dense_d_on(setup):
                                    rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_magp_chunks_matches_full_batch(setup):
     """RUNTIME.MAGP_CHUNKS computes the gradient penalty over equal batch
     chunks (checkpointed scan): 2*mean(norm^6) over equal chunks equals the

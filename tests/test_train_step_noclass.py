@@ -3,6 +3,7 @@ Dis256 uses the plain DiscSent head and no BCE class terms anywhere."""
 
 import jax
 import numpy as np
+import pytest
 
 from eegan_tpu.config import Config
 from eegan_tpu.data.synthetic import synthetic_batch
@@ -37,6 +38,7 @@ def test_train_step_no_class():
     assert "errD_2/d_loss_gp" in metrics
 
 
+@pytest.mark.slow
 def test_damsm_term_coefficients():
     """TRAIN.{SENT,WORDS,ATTR}_COE isolate one DAMSM pathway: zeroed terms
     report exactly 0 (dropped at trace time), live terms scale linearly

@@ -63,6 +63,7 @@ def test_missing_encoders_hard_fail():
     assert load_frozen_encoders(c, models, init_frozen) is init_frozen
 
 
+@pytest.mark.slow
 def test_train_checkpoint_resume(config, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("run"))
     dataset = SyntheticDataset(config, size=16, n_words=40)
@@ -93,6 +94,7 @@ def test_train_checkpoint_resume(config, tmp_path_factory):
     trainer2.close()
 
 
+@pytest.mark.slow
 def test_train_steps_per_dispatch(config, tmp_path_factory):
     """K=2 scanned steps per dispatch: same epoch = 2 steps, with an odd
     tail exercised (3 iters -> one full stack + one 1-step tail)."""
