@@ -91,12 +91,19 @@ def build_train_step_fn(config: Config, models: ModelBundle,
     (state, metrics). Jitted directly by `make_train_step`, or scanned K
     times per dispatch by `make_multi_train_step`.
 
-    ``ablate`` is for benchmarking ONLY (bench_ablate.py): it surgically
-    removes a phase so its marginal cost inside the fused program can be
-    measured honestly. Recognised keys: "text" (zero embeddings instead of
-    the BiLSTM), "damsm" (skip sent/words/attr losses + Inception), "words"
+    ``ablate`` is for benchmarking and probe isolation ONLY
+    (bench_ablate.py, validate_words.py): it surgically removes a phase so
+    its marginal cost — or its conditioning channel — can be measured
+    honestly. Recognised keys: "text" (zero embeddings instead of the
+    BiLSTM), "damsm" (skip sent/words/attr losses + Inception), "words"
     (skip only the words-loss), "magp" (skip the second D step), "dsteps"
-    (skip the D updates entirely). Never set in production.
+    (skip the D updates entirely), "dcond" (feed ZERO sentence embeddings
+    to every discriminator head and to MAGP — kills the conditional-GAN
+    signal path so a probe can attribute conditioning to the DAMSM terms
+    alone; the seed-1 words probe showed the hinge real/unpair pair does
+    NOT cancel on identical inputs: relu(1-s) + relu(1+s)/2 nets upward
+    pressure on s, so COND_DNET conditions G even with every DAMSM
+    coefficient at zero). Never set in production.
     """
     g_tx, d_tx = make_optimizers(config)
     n_scales = len(models.scales)
@@ -262,6 +269,13 @@ def build_train_step_fn(config: Config, models: ModelBundle,
         attrs_emb = jax.lax.stop_gradient(attrs_emb)
 
         b = sent.shape[0]
+        # "dcond": the discriminators (and MAGP) see zero sentence
+        # embeddings; G conditioning can then only flow through DAMSM.
+        if "dcond" in ablate:
+            d_sent = jnp.zeros_like(sent)
+            d_unpair = jnp.zeros_like(unpair_sent)
+        else:
+            d_sent, d_unpair = sent, unpair_sent
         noise = jax.random.normal(rng, (b, nz), jnp.float32)
         class_ids = batch["class_ids"]
         class_labels = gan_losses.one_hot_class_labels(class_ids, class_num) \
@@ -293,7 +307,7 @@ def build_train_step_fn(config: Config, models: ModelBundle,
             real = batch[f"img{models.scales[i]}"]
             dp, d_opt, m = d_scale_update(
                 i, state.d_params[i], state.d_opts[i], real, fake_sg[i],
-                sent, unpair_sent, class_labels)
+                d_sent, d_unpair, class_labels)
             new_d_params.append(dp)
             new_d_opts.append(d_opt)
             metrics.update(m)
@@ -304,7 +318,7 @@ def build_train_step_fn(config: Config, models: ModelBundle,
             total = jnp.float32(0)
             for i in range(n_scales):
                 feat = disc_features(i, new_d_params[i], imgs[i])
-                out = disc_head(i, new_d_params[i], feat, sent)
+                out = disc_head(i, new_d_params[i], feat, d_sent)
                 if use_class and i == n_scales - 1:
                     pair, cls = out
                     err_g = -pair.mean()

@@ -14,12 +14,17 @@ word level must paint both named colors.
 
 Signal isolation — every other conditioning pathway is switched off:
   * USE_CLASS=False: no class-BCE head;
-  * the "unpaired" caption equals the true caption, so the discriminator's
-    mismatch branch carries zero class contrast (its real/unpair terms
-    cancel on identical inputs) — D trains realism only;
   * TRAIN.SENT_COE = TRAIN.ATTR_COE = 0: the sentence and attr DAMSM terms
-    are dropped AT TRACE TIME (steps.py), leaving the words-loss as the
-    generator's ONLY class-dependent gradient.
+    are dropped AT TRACE TIME (steps.py);
+  * ablate={"dcond"}: every discriminator head (and MAGP) receives ZERO
+    sentence embeddings. This last item is a round-5 redesign: the
+    original probe assumed unpair==true made the conditional hinge
+    class-blind ("real/unpair terms cancel on identical inputs") — false:
+    relu(1-s) + relu(1+s)/2 nets upward pressure on s, so COND_DNET
+    still conditions G, and at seed 1 the words-OFF arm hit 6/10 through
+    that path alone (seed 0: 0/10 — seed-dependent, which is exactly what
+    made the original flip criterion unsound). With dcond the words-loss
+    is genuinely the generator's ONLY class-dependent gradient.
 
 Ablation: the run is repeated with TRAIN.WORDS_COE=0 (no conditioning
 signal at all). Pass requires the flip: words arm best >= 5/10 classes
@@ -195,7 +200,14 @@ def run_arm(words_coe: float, steps: int, batch: int, dtype: str,
         return (raw + ("raw",)) if raw[0] >= ema[0] else (ema + ("ema",))
 
     # ---- phase 2: adversarial training with checkpoint-sweep probe -----
-    step = make_train_step(c, models, mesh=mesh, donate=True)
+    # "dcond": zero sentence embeddings into every D head and MAGP (both
+    # arms) — seed 1 showed the conditional hinge does NOT cancel on
+    # identical real/unpair inputs (relu(1-s)+relu(1+s)/2 nets upward
+    # pressure on s), so without this the off arm can condition through
+    # COND_DNET alone (observed 6/10 at seed 1 vs 0/10 at seed 0). With it,
+    # the words-loss is genuinely the only class-dependent gradient.
+    step = make_train_step(c, models, mesh=mesh, donate=True,
+                           ablate=frozenset({"dcond"}))
     rng = jax.random.PRNGKey(1 + 7919 * seed)
     probe_every = 250
     best, best_step, best_kind = -1, 0, "raw"
