@@ -176,7 +176,6 @@ class Trainer:
             self.start_epoch = epoch + 1
             print(f"Resumed from epoch {epoch}")
         self.max_epoch = config.TRAIN.MAX_EPOCH + 1
-        self.iters_cnt = 0
         self.timer = StepTimer(self.batch_size)
         self.last_metrics = None
 
@@ -296,7 +295,6 @@ class Trainer:
                     profile_at = -1
 
                 if i % log_every == 0:
-                    self.iters_cnt += 1
                     # K-stacked metrics reduce by MEAN so the logged value
                     # reflects every measured sub-step, not a 1-in-K
                     # subsample (reference logs each UPDATE_INTERVAL,
@@ -309,7 +307,12 @@ class Trainer:
                     ips = self.timer.images_per_sec
                     if ips is not None:
                         scalars["perf/images_per_sec"] = ips
-                    self.writer.write_scalars(self.iters_cnt, scalars)
+                    # Log against the PERSISTENT optimizer step, not a
+                    # process-local counter: after an Orbax resume the
+                    # metric stream must continue where it stopped (the
+                    # round-5 kill/resume proof caught the old iters_cnt
+                    # restarting at 1 and interleaving TB/jsonl streams).
+                    self.writer.write_scalars(int(self.state.step), scalars)
 
             self.save_images(epoch)
             self.save_model(epoch)
