@@ -277,11 +277,17 @@ def main():
                                             "seed")}}))
 
     if a.arm == "both":
+        # Measured dcond distribution (chip, 3 seeds, PERF.md §8): words
+        # {8,8,6}, off {3,1,2} — an off arm occasionally grazes 3/10
+        # (P[Binom(10,2/25)>=3] ~= 3.8% per run), so the gate is the
+        # per-seed MARGIN, not an absolute off ceiling alone.
         w, o = results["words"], results["off"]
         assert w["best"] >= 5, \
             f"words arm best {w['best']}/10 — word conditioning not shown"
-        assert o["best"] <= 2, \
+        assert o["best"] <= 3, \
             f"off arm best {o['best']}/10 — leak: conditioning without words-loss"
+        assert w["best"] - o["best"] >= 3, \
+            (f"margin {w['best']}-{o['best']} < 3 — arms not separated")
         print(f"WORDS PROBE PASSED (words {w['best']}/10 @ {w['best_step']} "
               f"vs off {o['best']}/10 — the ablation flips the outcome)")
 
